@@ -1,0 +1,63 @@
+"""Engine tunables.
+
+Analog of the reference's ``config.py`` knob sheet (batch size, per-table
+batch ratios, worker counts, queue size, retries — see SURVEY.md §2.8 and
+reference ``src/rfb_cnpj_etl/config.py:27-60``), redesigned for Ray Data:
+batch/block sizing instead of queue sizes, partition counts instead of
+thread counts, and explicit skew (salting) knobs instead of the static
+``BATCH_RATIO`` shrink factor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # --- partitioning -----------------------------------------------------
+    #: number of hash partitions of the lake table (by ``doc_id``). At 100 TB
+    #: this should be ≫ total cores (e.g. 4–16× cluster cores) so work-stealing
+    #: hides stragglers; partition count is fixed at table-init time.
+    num_partitions: int = 32
+
+    #: rows per Arrow batch handed to map_batches stages. Token payloads are
+    #: wide (list<int32>, ~0.5 KB/row) so 32k rows ≈ 16 MB per batch.
+    batch_size: int = 32_768
+
+    # --- skew handling ----------------------------------------------------
+    #: two-stage salted merge: stage 1 reduces per (partition, salt) groups,
+    #: stage 2 re-merges per partition. 1 = disabled. Only useful when a
+    #: single partition's event group exceeds worker memory; the per-batch
+    #: partial LWW reduce already collapses hot keys to ≤1 row per block.
+    salt_factor: int = 1
+
+    # --- merge stage sizing ----------------------------------------------
+    #: actor-pool size for the partition merger stage; None → let Ray size
+    #: stateless tasks. A (min, max) tuple autoscales the pool.
+    merge_concurrency: int | tuple[int, int] | None = None
+
+    #: CPUs reserved per merger actor/task.
+    merge_num_cpus: float = 1.0
+
+    # --- sink -------------------------------------------------------------
+    #: parquet compression for staged partition files.
+    compression: str = "zstd"
+
+    #: rows per row-group in written parquet (bounds reader memory).
+    row_group_size: int = 64 * 1024
+
+    # --- failure injection (tests only) -----------------------------------
+    #: when True, ``ingest`` stages all partition files but raises before the
+    #: commit-log append — simulates a crash between staging and commit
+    #: (reference analog: interrupted download leaving ``.part`` files,
+    #: cnpj_downloader.py:84-96).
+    fail_before_commit: bool = field(default=False, repr=False)
+
+    def validate(self) -> None:
+        if self.num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        if self.salt_factor < 1:
+            raise ValueError("salt_factor must be >= 1")
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")

@@ -1,0 +1,46 @@
+"""Deterministic, vectorized key hashing for partition routing.
+
+The reference routes rows to tables by filename stem
+(``db_batch_producer.py:18-28``) and relies on DB primary keys for
+placement; the engine instead hash-partitions every row by its key so the
+same ``doc_id`` always lands in the same partition on any node of any
+cluster size. Requirements: stable across processes, machines and runs
+(so never builtin ``hash``), and vectorized (never a Python loop per row).
+
+Uses pandas' SipHash-based ``hash_array`` with its fixed default key —
+deterministic for a given pandas install and computed in C over the whole
+column at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_strings(values: "pa.Array | np.ndarray | list[str]") -> np.ndarray:
+    """uint64 SipHash of each UTF-8 string; vectorized, deterministic."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def partition_ids(doc_ids, num_partitions: int) -> np.ndarray:
+    """Partition index in [0, num_partitions) for each key — int32."""
+    return (hash_strings(doc_ids) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def salt_ids(lsns: np.ndarray, salt_factor: int) -> np.ndarray:
+    """Secondary salt in [0, salt_factor) for two-stage hot-key merges.
+
+    Derived from the event's ``lsn`` — NOT the key — so the many events of
+    one hot ``doc_id`` spread across ``salt_factor`` sub-groups; stage 1
+    reduces per (partition, salt, doc_id) (LWW is associative), stage 2
+    re-merges the ≤ salt_factor survivors per (partition, doc_id).
+    Reference skew analog: static BATCH_RATIO shrink, config.py:32-34.
+    """
+    if salt_factor <= 1:
+        return np.zeros(len(lsns), dtype=np.int32)
+    return (np.asarray(lsns, dtype=np.int64) % salt_factor).astype(np.int32)

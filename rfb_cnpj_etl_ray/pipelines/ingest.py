@@ -1,0 +1,300 @@
+"""The flagship pipeline: change-log replay → transactional lake upsert.
+
+Ray-Data-native re-expression of the reference's whole load phase
+(orchestrator.py:23-124: validate → build → load → patch → index → FK),
+replacing monthly drop-and-reload (sqlite_builder.py:170-177) with
+incremental, exactly-once, resumable replay:
+
+    validate manifest            (zip_metadata.py:16-58 analog)
+    select uncommitted segments  (resume; .part/Range analog, cnpj_downloader.py:84-96)
+    evolve schema                (north-rule addition; declared SCHEMA analog)
+    read_parquet(segments)       (streaming, schema-unified at read)
+    map_batches(ToInternal)      (stateless partial LWW reduce + partition routing)
+    [groupby(part, salt)]        (optional hot-key stage)
+    groupby(part).map_groups(PartitionMerger)   (the one all-to-all shuffle)
+    commit-log append            (single atomic synchronization point)
+
+Never materializes the event stream on the driver: the only driver-side
+collect is the tiny per-partition manifest table (≤ num_partitions rows).
+Callers own the Ray session — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from rfb_cnpj_etl_ray.config import EngineConfig
+from rfb_cnpj_etl_ray.spec import (
+    TableSpec,
+    evolve_schema,
+    schema_from_jsonable,
+    schema_to_jsonable,
+)
+from rfb_cnpj_etl_ray.stages.merge import (
+    INTERNAL_DELETED,
+    INTERNAL_LSN,
+    PART_COL,
+    SALT_COL,
+    PartitionMerger,
+    ToInternal,
+    internal_schema,
+    salted_reduce,
+    strip_internal,
+)
+from rfb_cnpj_etl_ray.state.commitlog import CommitLog, load_spec
+from rfb_cnpj_etl_ray.state.manifest import read_manifest, validate_segments
+
+
+def _pool_size(cfg: EngineConfig, num_partitions: int) -> int | tuple[int, int]:
+    """Merger actor-pool size: explicit config wins; otherwise most of the
+    cluster's CPUs (leaving headroom for the read + partial-reduce stages),
+    capped at the partition count (each group is one unit of work)."""
+    if cfg.merge_concurrency is not None:
+        return cfg.merge_concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n = max(1, int((cpus - 2) / max(cfg.merge_num_cpus, 0.25)))
+    return max(1, min(n, num_partitions))
+
+
+def ingest(
+    lake_dir: str | Path,
+    log_dir: str | Path,
+    table: str = "sequences",
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Apply all not-yet-committed change-log segments to the lake table.
+
+    Returns a report dict (epoch, segments, events, per-stage seconds).
+    Idempotent: re-running after success is a no-op; re-running after a
+    crash (including between staging and commit) completes the epoch with
+    the same final state the oracle produces.
+    """
+    cfg = cfg or EngineConfig()
+    cfg.validate()
+    t0 = time.perf_counter()
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    last = log.latest()
+    if last is None:
+        raise RuntimeError(f"lake table {table_dir} not initialized (run init_lake first)")
+    num_partitions = last["num_partitions"]
+    committed_segments = set(last.get("segments", []))
+    current_schema = schema_from_jsonable(last["schema"])
+
+    validate_segments(log_dir, strict=True)
+    manifest = read_manifest(log_dir)
+    new_segs = [s for s in sorted(manifest["segments"], key=lambda s: s["name"])
+                if s["name"] not in committed_segments]
+    if not new_segs:
+        return {
+            "epoch": last["epoch"], "segments": [], "events_read": 0,
+            "noop": True, "seconds": time.perf_counter() - t0,
+        }
+    paths = [str(Path(log_dir) / s["name"]) for s in new_segs]
+    events_read = sum(s["rows"] for s in new_segs)
+
+    # --- schema evolution at the read boundary ---------------------------
+    payload_schema = current_schema
+    for p in paths:
+        seg_schema = pq.read_schema(p)
+        seg_payload = pa.schema(
+            [f for f in seg_schema if f.name not in ("lsn", "op")]
+        )
+        payload_schema = evolve_schema(payload_schema, seg_payload)
+    change_schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        + list(payload_schema)
+    )
+
+    epoch = last["epoch"] + 1
+    merger_kwargs = dict(
+        table_dir=str(table_dir),
+        epoch=epoch,
+        current_files={int(k): v["file"] for k, v in last["partitions"].items()},
+        payload_schema_json=schema_to_jsonable(payload_schema),
+        compression=cfg.compression,
+        row_group_size=cfg.row_group_size,
+    )
+
+    ds = ray.data.read_parquet(paths, schema=change_schema)
+    ds = ds.map_batches(
+        ToInternal,
+        fn_constructor_kwargs=dict(
+            payload_schema=payload_schema,
+            num_partitions=num_partitions,
+            salt_factor=cfg.salt_factor,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    if cfg.salt_factor > 1:
+        ds = ds.groupby([PART_COL, SALT_COL]).map_groups(
+            salted_reduce, batch_format="pyarrow"
+        )
+    manifest_ds = ds.groupby(PART_COL).map_groups(
+        PartitionMerger,
+        fn_constructor_kwargs=merger_kwargs,
+        batch_format="pyarrow",
+        concurrency=_pool_size(cfg, num_partitions),
+        num_cpus=cfg.merge_num_cpus,
+    )
+    staged = manifest_ds.take_all()  # ≤ num_partitions tiny rows
+    t_staged = time.perf_counter()
+
+    if cfg.fail_before_commit:
+        raise RuntimeError("injected failure before commit (cfg.fail_before_commit)")
+
+    partitions = dict(last["partitions"])
+    for row in staged:
+        partitions[str(row["part"])] = {
+            "file": row["file"],
+            "rows": row["rows"],
+            "live_rows": row["live_rows"],
+            "bytes": row["bytes"],
+            "lsn_high": row["lsn_high"],
+            "events_applied": row["events_applied"],
+        }
+    record = {
+        "epoch": epoch,
+        "table": table,
+        "num_partitions": num_partitions,
+        "schema": schema_to_jsonable(payload_schema),
+        "partitions": partitions,
+        "segments": sorted(committed_segments | {s["name"] for s in new_segs}),
+        "parent": last["epoch"],
+        "metrics": {
+            "events_read": events_read,
+            "segments_this_epoch": [s["name"] for s in new_segs],
+            "partitions_touched": len(staged),
+            "rows_total": sum(int(p.get("live_rows", p["rows"])) for p in partitions.values()),
+            "stage_seconds": round(t_staged - t0, 3),
+        },
+    }
+    log.append(record)
+    return {
+        "epoch": epoch,
+        "segments": [s["name"] for s in new_segs],
+        "events_read": events_read,
+        "partitions_touched": len(staged),
+        "noop": False,
+        "seconds": time.perf_counter() - t0,
+    }
+
+
+def read_lake(
+    lake_dir: str | Path,
+    table: str = "sequences",
+    include_tombstones: bool = False,
+) -> "ray.data.Dataset":
+    """Current committed state as a streaming Dataset (public payload view)."""
+    log = CommitLog(Path(lake_dir) / table)
+    files = [str(p) for p in log.current_files().values()]
+    payload_schema = log.committed_schema()
+    # partitioning=None: the hive-style part=NNNN layout is an internal
+    # placement detail, not a user-facing column.
+    ds = ray.data.read_parquet(
+        files, schema=internal_schema(payload_schema), partitioning=None
+    )
+    if include_tombstones:
+        return ds
+    return ds.map_batches(
+        lambda t: strip_internal(t),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def read_lake_table(lake_dir: str | Path, table: str = "sequences") -> pa.Table:
+    """Driver-side full read — tests/small tables only."""
+    log = CommitLog(Path(lake_dir) / table)
+    payload = log.committed_schema()
+    int_sch = internal_schema(payload)
+    tables = []
+    for p in log.current_files().values():
+        from rfb_cnpj_etl_ray.spec import conform_table
+
+        tables.append(conform_table(pq.read_table(p), int_sch))
+    merged = pa.concat_tables(tables) if tables else int_sch.empty_table()
+    return strip_internal(merged).sort_by([("doc_id", "ascending")])
+
+
+def init_lake_distributed(
+    lake_dir: str | Path,
+    spec: TableSpec,
+    base_files: list[str],
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Epoch-0 init for big base snapshots: partition + write via Ray Data
+    (the driver-side ``state.init_lake`` helper is for small/test bases).
+    """
+    cfg = cfg or EngineConfig()
+    cfg.validate()
+    table_dir = Path(lake_dir) / spec.name
+    log = CommitLog(table_dir)
+    if log.latest() is not None:
+        raise RuntimeError(f"lake table {table_dir} already initialized")
+    table_dir.mkdir(parents=True, exist_ok=True)
+    from rfb_cnpj_etl_ray.state.commitlog import atomic_write_bytes
+
+    atomic_write_bytes(table_dir / "_table_spec.json", spec.to_json().encode())
+
+    def to_internal_base(batch: pa.Table) -> pa.Table:
+        from rfb_cnpj_etl_ray.hashing import partition_ids
+        from rfb_cnpj_etl_ray.spec import conform_table
+
+        b = conform_table(batch, spec.schema)
+        n = b.num_rows
+        b = b.append_column(INTERNAL_LSN, pa.array([0] * n, type=pa.int64()))
+        b = b.append_column(INTERNAL_DELETED, pa.array([False] * n, type=pa.bool_()))
+        parts = partition_ids(b.column(spec.key[0]), cfg.num_partitions)
+        return b.append_column(PART_COL, pa.array(parts, type=pa.int32()))
+
+    ds = ray.data.read_parquet(base_files, schema=spec.schema)
+    ds = ds.map_batches(to_internal_base, batch_format="pyarrow",
+                        batch_size=cfg.batch_size, zero_copy_batch=True)
+    manifest_ds = ds.groupby(PART_COL).map_groups(
+        PartitionMerger,
+        fn_constructor_kwargs=dict(
+            table_dir=str(table_dir),
+            epoch=0,
+            current_files={},
+            payload_schema_json=schema_to_jsonable(spec.schema),
+            compression=cfg.compression,
+            row_group_size=cfg.row_group_size,
+        ),
+        batch_format="pyarrow",
+        concurrency=_pool_size(cfg, cfg.num_partitions),
+        num_cpus=cfg.merge_num_cpus,
+    )
+    staged = manifest_ds.take_all()
+    partitions = {
+        str(r["part"]): {
+            "file": r["file"], "rows": r["rows"], "live_rows": r["live_rows"],
+            "bytes": r["bytes"], "lsn_high": None, "events_applied": 0,
+        }
+        for r in staged
+    }
+    # partitions with no base rows still need an (empty) entry so merges can
+    # carry them forward; they get files lazily on first touch.
+    record = {
+        "epoch": 0,
+        "table": spec.name,
+        "num_partitions": cfg.num_partitions,
+        "schema": schema_to_jsonable(spec.schema),
+        "partitions": partitions,
+        "segments": [],
+        "parent": None,
+        "metrics": {"rows_total": sum(r["rows"] for r in staged)},
+    }
+    log.append(record)
+    return record

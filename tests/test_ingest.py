@@ -1,0 +1,139 @@
+"""End-to-end CDC ingest vs the single-threaded oracle replayer.
+
+Covers the north-rule correctness gates: final-state token-array
+equality, incremental multi-epoch replay, duplicated-batch injection,
+crash-restart resume, and out-of-order segment arrival.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from rfb_cnpj_etl_ray.config import EngineConfig
+from rfb_cnpj_etl_ray.oracle import assert_states_equal, replay
+from rfb_cnpj_etl_ray.pipelines.ingest import ingest, read_lake, read_lake_table
+from rfb_cnpj_etl_ray.spec import PAYLOAD_SCHEMA, TableSpec
+from rfb_cnpj_etl_ray.state.commitlog import CommitLog, init_lake
+from rfb_cnpj_etl_ray.synth import make_base, make_changelog, write_changelog_segments
+
+SPEC = TableSpec(name="sequences", schema=PAYLOAD_SCHEMA)
+
+
+def _setup(tmp_path, n_docs=400, n_events=3000, n_segments=6, seed=42,
+           num_partitions=8, **cfg_kwargs):
+    base = make_base(n_docs, seed=seed, max_len=64)
+    events = make_changelog(n_events, n_docs, seed=seed + 1, max_len=64)
+    log_dir = tmp_path / "log"
+    write_changelog_segments(events, log_dir, n_segments=n_segments)
+    lake = tmp_path / "lake"
+    cfg = EngineConfig(num_partitions=num_partitions, **cfg_kwargs)
+    init_lake(lake, SPEC, base=base, num_partitions=num_partitions)
+    return base, events, log_dir, lake, cfg
+
+
+def test_single_epoch_matches_oracle(ray_session, tmp_path):
+    base, events, log_dir, lake, cfg = _setup(tmp_path)
+    report = ingest(lake, log_dir, cfg=cfg)
+    assert not report["noop"]
+    assert report["events_read"] == 3000
+    expected = replay(base, events)
+    assert_states_equal(expected, read_lake_table(lake))
+
+
+def test_incremental_epochs_match_full_replay(ray_session, tmp_path):
+    """Segments ingested across three epochs == one-shot oracle replay."""
+    base, events, log_dir, lake, cfg = _setup(tmp_path, n_segments=6)
+    all_segs = sorted(p.name for p in log_dir.glob("*.parquet"))
+    # hide later segments by rewriting the manifest per epoch
+    import json
+    manifest = json.loads((log_dir / "manifest.json").read_text())
+    full_segments = manifest["segments"]
+    for upto in (2, 4, 6):
+        manifest["segments"] = [s for s in full_segments if s["name"] in all_segs[:upto]]
+        (log_dir / "manifest.json").write_text(json.dumps(manifest))
+        ingest(lake, log_dir, cfg=cfg)
+    expected = replay(base, events)
+    assert_states_equal(expected, read_lake_table(lake))
+    # three commits + epoch 0
+    assert CommitLog(lake / "sequences").latest_epoch() == 3
+
+
+def test_duplicated_batch_injection_is_noop(ray_session, tmp_path):
+    """Re-ingesting committed segments must not change state (exactly-once).
+
+    Reference tolerance analog: INSERT OR IGNORE (sqlite_loader.py:56)."""
+    base, events, log_dir, lake, cfg = _setup(tmp_path)
+    ingest(lake, log_dir, cfg=cfg)
+    state1 = read_lake_table(lake)
+    r2 = ingest(lake, log_dir, cfg=cfg)  # same manifest again
+    assert r2["noop"]
+    # harder: re-append an old segment under a NEW name (same events) —
+    # segment-set dedup can't catch it; the (doc_id,lsn) LWW fold must.
+    import json, shutil
+    seg0 = sorted(log_dir.glob("seg-*.parquet"))[0]
+    dup = log_dir / "seg-99999.parquet"
+    shutil.copy(seg0, dup)
+    manifest = json.loads((log_dir / "manifest.json").read_text())
+    first = [s for s in manifest["segments"] if s["name"] == seg0.name][0]
+    manifest["segments"].append({**first, "name": dup.name})
+    (log_dir / "manifest.json").write_text(json.dumps(manifest))
+    r3 = ingest(lake, log_dir, cfg=cfg)
+    assert not r3["noop"]
+    assert_states_equal(state1, read_lake_table(lake))
+
+
+def test_crash_before_commit_then_resume(ray_session, tmp_path):
+    """Kill between staging and commit; resume completes the epoch."""
+    base, events, log_dir, lake, cfg = _setup(tmp_path)
+    cfg.fail_before_commit = True
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest(lake, log_dir, cfg=cfg)
+    # nothing committed: lake still at epoch 0, public state = base
+    log = CommitLog(lake / "sequences")
+    assert log.latest_epoch() == 0
+    cfg.fail_before_commit = False
+    ingest(lake, log_dir, cfg=cfg)
+    assert_states_equal(replay(base, events), read_lake_table(lake))
+
+
+def test_out_of_order_segment_arrival(ray_session, tmp_path):
+    """Later segments committed first; earlier (lower-lsn) segments arrive
+    late. Per-row _lsn LWW must converge to the oracle's global order."""
+    import json
+    base, events, log_dir, lake, cfg = _setup(tmp_path, n_segments=4)
+    manifest = json.loads((log_dir / "manifest.json").read_text())
+    full = manifest["segments"]
+    # epoch 1: only the LAST two segments (which, thanks to arrival-order
+    # shuffling, still contain a mix of lsns); epoch 2: the first two.
+    manifest["segments"] = full[2:]
+    (log_dir / "manifest.json").write_text(json.dumps(manifest))
+    ingest(lake, log_dir, cfg=cfg)
+    manifest["segments"] = full
+    (log_dir / "manifest.json").write_text(json.dumps(manifest))
+    ingest(lake, log_dir, cfg=cfg)
+    assert_states_equal(replay(base, events), read_lake_table(lake))
+
+
+def test_salted_two_stage_merge_matches(ray_session, tmp_path):
+    base, events, log_dir, lake, cfg = _setup(tmp_path, salt_factor=4)
+    ingest(lake, log_dir, cfg=cfg)
+    assert_states_equal(replay(base, events), read_lake_table(lake))
+
+
+def test_read_lake_dataset_view(ray_session, tmp_path):
+    base, events, log_dir, lake, cfg = _setup(tmp_path)
+    ingest(lake, log_dir, cfg=cfg)
+    ds = read_lake(lake)
+    expected = replay(base, events)
+    assert ds.count() == expected.num_rows
+    assert set(ds.schema().names) == set(PAYLOAD_SCHEMA.names)
+
+
+def test_commit_log_carries_metrics_and_lineage(ray_session, tmp_path):
+    base, events, log_dir, lake, cfg = _setup(tmp_path)
+    ingest(lake, log_dir, cfg=cfg)
+    c = CommitLog(lake / "sequences").latest()
+    assert c["metrics"]["events_read"] == 3000
+    assert c["metrics"]["segments_this_epoch"]  # lineage
+    assert c["segments"]
+    touched = [p for p in c["partitions"].values() if p["events_applied"] > 0]
+    assert touched and all("lsn_high" in p for p in touched)

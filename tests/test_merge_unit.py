@@ -1,0 +1,95 @@
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rfb_cnpj_etl_ray.spec import CHANGE_SCHEMA, PAYLOAD_SCHEMA
+from rfb_cnpj_etl_ray.stages.merge import (
+    INTERNAL_DELETED,
+    INTERNAL_LSN,
+    PART_COL,
+    ToInternal,
+    internal_schema,
+    lww_reduce,
+    strip_internal,
+)
+from rfb_cnpj_etl_ray.synth import make_changelog
+
+
+def test_lww_reduce_keeps_max_lsn_per_key():
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "a", "a", "b"],
+            INTERNAL_LSN: pa.array([1, 5, 3, 2, 4], pa.int64()),
+            "v": [10, 20, 30, 40, 50],
+        }
+    )
+    out = lww_reduce(t)
+    by = dict(zip(out["doc_id"].to_pylist(), out["v"].to_pylist()))
+    assert by == {"a": 30, "b": 20}
+
+
+def test_lww_reduce_is_associative_on_random_input():
+    ev = make_changelog(5000, 300, seed=9)
+    internal = pa.table(
+        {
+            "doc_id": ev["doc_id"],
+            INTERNAL_LSN: ev["lsn"],
+            INTERNAL_DELETED: pc.equal(ev["op"], "D"),
+        }
+    )
+    whole = lww_reduce(internal).sort_by([("doc_id", "ascending")])
+    # reduce two halves then reduce the concat — must equal one-shot reduce
+    h1 = lww_reduce(internal.slice(0, 2500))
+    h2 = lww_reduce(internal.slice(2500))
+    two_stage = lww_reduce(pa.concat_tables([h1, h2])).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert whole.equals(two_stage)
+
+
+def test_lww_reduce_empty_and_single():
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      INTERNAL_LSN: pa.array([], pa.int64())})
+    assert lww_reduce(empty).num_rows == 0
+    one = pa.table({"doc_id": ["z"], INTERNAL_LSN: pa.array([7], pa.int64())})
+    assert lww_reduce(one).num_rows == 1
+
+
+def test_to_internal_routing_and_reduce():
+    ev = make_changelog(2000, 100, seed=3)
+    fn = ToInternal(payload_schema=PAYLOAD_SCHEMA, num_partitions=8)
+    out = fn(ev)
+    # partial reduce: at most one row per doc_id
+    ids = out["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids))
+    parts = out[PART_COL].to_pylist()
+    assert set(parts) <= set(range(8))
+    # same doc_id always maps to same partition
+    fn2 = ToInternal(payload_schema=PAYLOAD_SCHEMA, num_partitions=8)
+    out2 = fn2(ev.slice(0, 500))
+    m1 = dict(zip(out["doc_id"].to_pylist(), parts))
+    for d, p in zip(out2["doc_id"].to_pylist(), out2[PART_COL].to_pylist()):
+        assert m1[d] == p
+
+
+def test_to_internal_salt():
+    ev = make_changelog(1000, 50, seed=4)
+    fn = ToInternal(payload_schema=PAYLOAD_SCHEMA, num_partitions=4, salt_factor=3)
+    out = fn(ev)
+    assert "__salt" in out.schema.names
+    assert set(out["__salt"].to_pylist()) <= {0, 1, 2}
+
+
+def test_strip_internal_drops_tombstones():
+    sch = internal_schema(PAYLOAD_SCHEMA)
+    t = pa.Table.from_pylist(
+        [
+            {"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "web",
+             INTERNAL_LSN: 1, INTERNAL_DELETED: False},
+            {"doc_id": "b", "tokens": None, "n_tok": None, "source": None,
+             INTERNAL_LSN: 2, INTERNAL_DELETED: True},
+        ],
+        schema=sch,
+    )
+    out = strip_internal(t)
+    assert out.column("doc_id").to_pylist() == ["a"]
+    assert out.schema.names == PAYLOAD_SCHEMA.names

@@ -1,0 +1,451 @@
+"""Relational operators over the driver's TPC-H-ish parquet tables.
+
+Each function here re-expresses one reference capability (SURVEY.md §2
+operator inventory) Ray-Data-first, and is registered in
+``__ray_entry__.queries()`` with a matching DuckDB ``oracle_sql()``
+string (column names/types aligned so the driver's order-insensitive
+value-hash matches).
+
+Patterns used deliberately (SURVEY.md §1.2, §4):
+* dimension lookups are **broadcast joins** — ``ray.put`` the small side
+  once, read it per actor/batch, map with pandas/numpy — never a shuffle
+  (reference analog: the static dimension tables, db_patch.py:23-57);
+* large-large joins use ``Dataset.join`` (hash-partitioned shuffle join);
+* aggregations pre-reduce inside ``map_batches`` before the small final
+  ``groupby`` where the key cardinality is low;
+* all hot-path transforms are vectorized Arrow/pandas — no per-row Python.
+
+Floats: every aggregate that sums doubles is rounded (ROUND(x, 2)) on
+BOTH sides so value-hashes are insensitive to summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# P2 analog — LSN-ordered last-writer-wins dedup, on the events stream
+# ---------------------------------------------------------------------------
+
+def lww_latest_events(sf_dir: str):
+    """Last event per user_id by event_id (the engine's LWW merge applied
+    to the generic events table; reference: best-record-wins dedup,
+    db_patch.py:60-87). Uses the same sort+run-boundary fold as the CDC
+    merge core, with per-batch partial reduce before the shuffle."""
+    from rfb_cnpj_etl_ray.stages.merge import lww_reduce
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return lww_reduce(batch, key="user_id", lsn="event_id")
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("user_id").map_groups(partial, batch_format="pyarrow")
+    return out.rename_columns(
+        {"event_id": "last_event_id", "event_type": "last_event_type",
+         "value": "last_value"}
+    )
+
+
+LWW_LATEST_EVENTS_SQL = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       value      AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 analog — explode a delimited column into child rows
+# ---------------------------------------------------------------------------
+
+def explode_part_types(sf_dir: str):
+    """Split p_type on spaces into one (p_partkey, word) row per item —
+    the secondary-CNAE explode (db_batch_producer.py:61-72) as a
+    vectorized list-flatten, not a per-row flat_map."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("p_type"), " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        keys = batch.column("p_partkey").take(parents)
+        return pa.table({"p_partkey": keys, "word": flat})
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EXPLODE_PART_TYPES_SQL = """
+SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6/P8 analog — anti-join (orphan detection / referential gate)
+# ---------------------------------------------------------------------------
+
+#: "high-value order" cutoff for the anti-join demo — chosen so the
+#: orphan set is non-empty at every test scale.
+_HIGH_VALUE = 350_000.0
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set: the child side streams, the parent
+    key set rides the object store once (semi/anti joins never shuffle
+    when one side's keys fit in memory; at 100 TB swap in a Bloom filter
+    built the same way). Reference: orphan delete, db_patch.py:108-115.
+
+    Predicate pushdown at the read: only o_custkey of qualifying orders
+    ever leaves storage (row-group filter + column prune)."""
+    orders_keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pc.field("o_totalprice") > _HIGH_VALUE,
+        )
+        .unique("o_custkey")
+    )
+    key_ref = ray.put(np.array(orders_keys, dtype=np.int64))
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch.column("c_custkey").to_numpy(), self.keys,
+                           invert=True)
+            return batch.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(AntiJoin, fn_constructor_kwargs={"ref": key_ref},
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P5 analogs — conditional update / default fill / zero-pad
+# ---------------------------------------------------------------------------
+
+def normalize_nation_codes(sf_dir: str):
+    """Vectorized conditional-column updates: null-out sentinel, default
+    fill, LPAD zero-pad (db_patch.py:89,91,93-106) as pc kernels."""
+    ds = _read(sf_dir, "nation")
+
+    def fix(batch: pa.Table) -> pa.Table:
+        key = batch.column("n_nationkey")
+        code = pc.utf8_lpad(pc.cast(key, pa.string()), 3, "0")
+        # sentinel: region 0 codes null out (P3 analog: cod_pais='0' -> NULL)
+        region = batch.column("n_regionkey")
+        region_fixed = pc.if_else(
+            pc.equal(region, 0), pa.nulls(batch.num_rows, pa.int32()), region
+        )
+        name = batch.column("n_name")
+        name_filled = pc.if_else(pc.equal(name, ""), pa.scalar("UNKNOWN"), name)
+        return pa.table(
+            {
+                "n_nationkey": key,
+                "nation_code": code,
+                "n_name": name_filled,
+                "n_regionkey": region_fixed,
+            }
+        )
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_NATION_CODES_SQL = """
+SELECT n_nationkey,
+       lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS nation_code,
+       CASE WHEN n_name = '' THEN 'UNKNOWN' ELSE n_name END AS n_name,
+       CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1 analog — idempotent dimension upsert (insert-if-absent)
+# ---------------------------------------------------------------------------
+
+#: static rows missing from the source dimension (reference: hard-coded
+#: qualificacao/motivo/pais upserts, db_patch.py:23-57, docs/normalizacao.md).
+_STATIC_NATIONS = [(90, "ATLANTIS", 0), (91, "ELDORADO", 1)]
+
+
+def upsert_static_nations(sf_dir: str):
+    """INSERT ... ON CONFLICT DO NOTHING re-expressed: broadcast the
+    static rows, filter out keys already present, union — first-writer
+    wins, duplicates impossible."""
+    ds = _read(sf_dir, "nation")
+    existing = set(x for x in ds.unique("n_nationkey"))
+    missing = [r for r in _STATIC_NATIONS if r[0] not in existing]
+    add = pa.table(
+        {
+            "n_nationkey": pa.array([r[0] for r in missing], pa.int32()),
+            "n_name": pa.array([r[1] for r in missing]),
+            "n_regionkey": pa.array([r[2] for r in missing], pa.int32()),
+        }
+    )
+    return ds.union(ray.data.from_arrow(add))
+
+
+UPSERT_STATIC_NATIONS_SQL = """
+SELECT * FROM nation
+UNION ALL
+SELECT CAST(v.k AS INTEGER), v.n, CAST(v.r AS INTEGER)
+FROM (VALUES (90, 'ATLANTIS', 0), (91, 'ELDORADO', 1)) v(k, n, r)
+WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = v.k)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1-style grouped aggregate with per-batch partial reduce
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """Flagship grouped aggregate: pre-aggregate inside map_batches (the
+    combiner the groupby shuffle then only sees ~|keys| rows per block of)
+    then a tiny final groupby — the scale pattern for low-cardinality keys.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Count, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(batch.column("sum_qty"),
+                      pc.cast(batch.column("count_order"), pa.float64())), 2
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.round(batch.column("sum_qty"), 2),
+                "sum_base_price": pc.round(batch.column("sum_base_price"), 2),
+                "sum_disc_price": pc.round(batch.column("sum_disc_price"), 2),
+                "avg_qty": avg,
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 2)             AS avg_qty,
+       COUNT(*)                                         AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship multi-join aggregate (query_sqlite.md analog)
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(sf_dir: str):
+    """customer⋈nation broadcast; orders⋈lineitem via hash-partitioned
+    Dataset.join (the large-large side); revenue pre-reduced per batch.
+
+    Broadcast side = customer→nation-name map (dimension-sized); the
+    orders⋈lineitem join is the genuinely large pair so it shuffles.
+    Reference flagship query: docs/exemplos/query_sqlite.md:11-79."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nation = customer.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    ref = ray.put(dict(zip(cust_nation["c_custkey"], cust_nation["n_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["o_custkey"].map(self.map)
+            return batch[["o_orderkey", "n_name"]]
+
+    orders_n = orders.map_batches(
+        AttachNation, fn_constructor_kwargs={"ref": ref},
+        batch_format="pandas", concurrency=(1, 4),
+    )
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return (
+            batch.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        )
+
+    li = lineitem.map_batches(revenue_partial, batch_format="pandas")
+    joined = li.join(
+        orders_n, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Sum
+
+    out = joined.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"n_name": t.column("n_name"),
+             "revenue": pc.round(t.column("revenue"), 2)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUP_CONCAT / STRING_AGG analog
+# ---------------------------------------------------------------------------
+
+def parts_per_order(sf_dir: str):
+    """Per-order comma-joined sorted part keys — the correlated
+    GROUP_CONCAT subquery of the flagship reference query
+    (query_sqlite.md:57-61) as groupby().map_groups."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def concat_group(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ",".join(map(str, sorted(g["l_partkey"])))
+        return pd.DataFrame(
+            {"l_orderkey": [g["l_orderkey"].iloc[0]], "part_list": [keys],
+             "n_parts": [len(g)]}
+        )
+
+    return ds.groupby("l_orderkey").map_groups(concat_group, batch_format="pandas")
+
+
+PARTS_PER_ORDER_SQL = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS part_list,
+       COUNT(*) AS n_parts
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort + limit (top-k)
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str):
+    """Global top-20 by total price (ties broken by key for determinism).
+    ds.sort is a distributed sample-partitioned sort; limit prunes."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time windowed aggregate (streaming-shaped, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def hourly_user_activity(sf_dir: str):
+    """Tumbling 1h event-time windows per user: floor the timestamp in a
+    vectorized kernel, then partial-reduce + groupby — Ray Data has no
+    watermarks, so windows are just another grouping key (ordering
+    assumption: none needed for a tumbling count/sum)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        out = pa.table(
+            {"user_id": batch.column("user_id"), "hour": hour,
+             "value": batch.column("value")}
+        )
+        df = out.to_pandas()
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["user_id", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour": t.column("hour"),
+                "n_events": t.column("n_events"),
+                "sum_value": pc.round(t.column("sum_value"), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+HOURLY_USER_ACTIVITY_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""

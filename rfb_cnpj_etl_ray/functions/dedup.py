@@ -1,0 +1,286 @@
+"""Deduplication operators: exact, blocked n-gram Jaccard, MinHash-LSH,
+SimHash, embedding-cosine near-dup.
+
+The CDC engine's LWW merge is itself a keyed dedup; these generalize it
+to *content* dedup for training corpora. Patterns:
+
+* exact dedup = content key in a vectorized map_batches + per-key
+  first-writer-wins groupby (the reference's P2 dedup, db_patch.py:60-87,
+  with "quality rank" := min doc_id);
+* blocked exact Jaccard = groupby(block).map_groups pairwise verify —
+  exact, oracle-checkable; block = (lang, source) here, at 100 TB any
+  bounded-cardinality blocking key;
+* MinHash-LSH = the scale path: signatures per batch (vectorized via
+  reduceat over a flat word-hash buffer), band explode, bucket groupby —
+  candidates only, verified by exact Jaccard;
+* SimHash = 64-bit fingerprints via per-doc bit-vote reduction;
+* embedding near-dup = blocked cosine via numpy matmul per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from rfb_cnpj_etl_ray.functions.text import WS_RE
+
+
+def _read_docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (first-writer-wins on a content key)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """Dedup documents on their first-3-words key, keeping the smallest
+    doc_id per key (deterministic winner). Output: survivors only.
+
+    Scale shape: key computed vectorized per batch; per-key winner via
+    per-batch partial min then one groupby over ~|keys| rows — same
+    combiner-then-shuffle layout as the CDC merge."""
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.findall(WS_RE)
+        batch = batch[["doc_id"]].copy()
+        batch["dedup_key"] = words.map(lambda ws: " ".join(ws[:3]))
+        return batch
+
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_key, batch_format="pandas"
+    )
+    # partial winner per batch, then per-key final winner
+    ds = ds.map_batches(
+        lambda df: df.groupby("dedup_key", as_index=False)["doc_id"].min(),
+        batch_format="pandas",
+    )
+    return ds.groupby("dedup_key").map_groups(first_per_key, batch_format="pandas")
+
+
+EXACT_DEDUP_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(text, '\\S+')[1:3], ' ') AS dedup_key
+  FROM documents
+)
+SELECT dedup_key, MIN(doc_id) AS doc_id FROM k GROUP BY dedup_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocked exact n-gram Jaccard pairs (oracle-checkable near-dup)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def jaccard_block_pairs(sf_dir: str):
+    """All document pairs within a (lang, source) block whose word-set
+    Jaccard ≥ 0.5 — exact blocked near-dup. Blocks bound the quadratic
+    pairwise cost (|block|² instead of |corpus|²); for unblocked corpora
+    use minhash_lsh_candidates below."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g["doc_id"].to_numpy()
+        sets = [set(ws) for ws in g["text"].str.lower().str.findall(WS_RE)]
+        order = np.argsort(docs)
+        rows = []
+        for ii in range(len(order)):
+            a = order[ii]
+            for jj in range(ii + 1, len(order)):
+                b = order[jj]
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                union = len(sets[a]) + len(sets[b]) - inter
+                j = inter / union
+                if j >= JACCARD_THRESHOLD:
+                    rows.append((int(docs[a]), int(docs[b]), round(j, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    return ds.groupby(["lang", "source"]).map_groups(pairs, batch_format="pandas")
+
+
+JACCARD_BLOCK_PAIRS_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.ws, b.ws)) * 1.0
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+FROM w a JOIN w b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path) — candidates, not SQL-expressible
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 64
+NUM_BANDS = 16  # 16 bands × 4 rows
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Per-batch MinHash signatures, vectorized: hash every word of the
+    batch once (SipHash over a flat buffer), then for each of the 64
+    hash functions (a_i·x + b_i mod 2^61-1) take per-doc minima with
+    ``np.minimum.reduceat`` — no per-row Python."""
+
+    def __init__(self, num_hashes: int = NUM_HASHES, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+        self.num_hashes = num_hashes
+
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        words = texts.str.lower().str.findall(WS_RE)
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
+            if counts.sum() else np.array([], dtype=object)
+        base = pd.util.hash_array(flat, categorize=False)  # uint64 per word
+        sigs = np.full((len(texts), self.num_hashes), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        nonempty = counts > 0
+        if base.size:
+            offsets = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            starts = offsets[nonempty]
+            for h in range(self.num_hashes):
+                vals = (self.a[h] * base + self.b[h]) % _MERSENNE
+                mins = np.minimum.reduceat(vals, starts)
+                sigs[nonempty, h] = mins
+        return sigs
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = self.signatures(batch["text"])
+        rows_per_band = self.num_hashes // NUM_BANDS
+        out = {
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), NUM_BANDS),
+            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), len(batch)),
+        }
+        # band hash = SipHash of the band's signature bytes, vectorized by
+        # hashing tuples packed into fixed-width byte strings
+        band_views = sigs.reshape(len(batch), NUM_BANDS, rows_per_band)
+        packed = band_views.astype("<u8").tobytes()
+        width = rows_per_band * 8
+        byte_rows = np.frombuffer(packed, dtype=f"S{width}")
+        out["band_hash"] = pd.util.hash_array(
+            byte_rows.astype(object), categorize=False
+        ).astype("int64")
+        return pd.DataFrame(out)
+
+
+def minhash_lsh_candidates(sf_dir: str):
+    """Candidate near-duplicate pairs via MinHash-LSH: signature →
+    (band, band_hash, doc_id) explode → bucket groupby → pairs from
+    multi-doc buckets, deduped. Probabilistic recall (by design); verify
+    candidates with exact Jaccard downstream. rows-only oracle."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    pairs = ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedup pairs found in multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(sf_dir: str):
+    """64-bit SimHash per doc: each *distinct* word's hash votes per bit,
+    sign → bit. Set-based (not frequency-weighted) so fingerprints align
+    with set-Jaccard similarity: docs with near-identical word sets get
+    near-identical fingerprints regardless of word frequencies.
+    Vectorized: unpack word hashes to a bit matrix, per-doc sums via
+    ``np.add.reduceat``. rows-only oracle."""
+
+    def simhash(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(WS_RE).map(
+            lambda ws: sorted(set(ws))
+        )
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
+            if counts.sum() else np.array([], dtype=object)
+        hashes = pd.util.hash_array(flat, categorize=False)
+        bits = np.unpackbits(
+            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)  # (n_words, 64)
+        votes = 2 * bits - 1
+        offsets = np.zeros(len(batch), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        fps = np.zeros(len(batch), dtype=np.uint64)
+        nonempty = counts > 0
+        if hashes.size:
+            sums = np.add.reduceat(votes, offsets[nonempty], axis=0)
+            sign_bits = (sums > 0).astype(np.uint8)
+            packed = np.packbits(sign_bits, axis=1, bitorder="little")
+            fps[nonempty] = packed.copy().view(np.uint64).ravel()
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "simhash": fps.astype("int64")}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        simhash, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (blocked exact)
+# ---------------------------------------------------------------------------
+
+#: production near-dup cutoff would be ~0.95; the synthetic embeddings are
+#: uniform-random (no true near-dups), so the registered query uses 0.3 to
+#: exercise the pipeline with a non-empty result.
+COSINE_THRESHOLD = 0.3
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = COSINE_THRESHOLD):
+    """Pairs of embeddings with cosine ≥ threshold within a label block —
+    numpy matmul per group (vectorized |block|² at bounded block size).
+    rows-only oracle (float pair enumeration not robust in SQL hash)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sim = m @ m.T
+        ia, ib = np.where(np.triu(sim >= threshold, k=1))
+        order = np.lexsort((ids[ib], ids[ia]))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(ids[ia][order], dtype="int64"),
+                "vec_b": pd.Series(ids[ib][order], dtype="int64"),
+                "cosine": pd.Series(np.round(sim[ia, ib][order], 4),
+                                    dtype="float64"),
+            }
+        )
+
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")

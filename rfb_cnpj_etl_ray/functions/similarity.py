@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — broadcast the query matrix once
+(``ray.put``), numpy matmul per batch, per-batch local top-k, tiny global
+sort. Scale path: IVF — coarse centroids fit on a sample, batches routed
+to nearest-centroid buckets, probes limited to the closest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+TOP_K = 10
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    """Deterministic query: the embedding of vec_id 0 (exists at every sf)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    idx = t.column("vec_id").to_numpy().argmin()
+    v = np.asarray(t.column("embedding").to_pylist()[idx], dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id-0 query. Each batch emits
+    only its local top-k (k rows), so the global sort sees ~k×#batches
+    rows, not the corpus."""
+    q = _query_vector(sf_dir)
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self, ref):
+            self.q = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.q
+            out = pd.DataFrame(
+                {"vec_id": batch["vec_id"], "cosine": np.round(sims, 4)}
+            )
+            return out.nlargest(TOP_K, ["cosine"]).sort_values(
+                ["cosine", "vec_id"], ascending=[False, True]
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    local = ds.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
+                           batch_format="pandas", concurrency=(1, 4))
+    return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)
+
+
+ANN_TOPK_SQL = f"""
+SELECT vec_id,
+       ROUND(CAST(list_cosine_similarity(
+           embedding, (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+       ) AS DOUBLE), 4) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(
+    embedding, (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+) DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+NUM_CENTROIDS = 8
+NUM_PROBES = 2
+
+
+def _fit_centroids(
+    sf_dir: str,
+    num_centroids: int = NUM_CENTROIDS,
+    sample_size: int = 2048,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample — at 100 TB
+    the sample comes from ``ds.random_sample`` instead of a head read."""
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    m = np.stack(sample.column("embedding").to_numpy(zero_copy_only=False))[:sample_size]
+    m = m.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), num_centroids, replace=False)].copy()
+    for _ in range(5):  # Lloyd iterations, vectorized
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(num_centroids):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN: centroids from a driver-side k-means on a sample
+    (deterministic seed), every batch scores only when its bucket is among
+    the query's NUM_PROBES closest centroids. Approximate by design
+    (recall depends on how clustered the corpus is) → rows-only oracle.
+    At 100 TB buckets become the partition key so probes prune whole
+    partitions at the read."""
+    cent = _fit_centroids(sf_dir)
+    q = _query_vector(sf_dir)
+    probe_buckets = set(np.argsort(cent @ q)[::-1][:NUM_PROBES].tolist())
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+
+    class ProbeScore:
+        def __init__(self, cent_ref, q_ref, probes):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.probes = probes
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            assign = (m @ self.cent.T).argmax(axis=1)
+            mask = np.isin(assign, list(self.probes))
+            if not mask.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            sims = m[mask] @ self.q
+            out = pd.DataFrame(
+                {"vec_id": batch["vec_id"].to_numpy()[mask],
+                 "cosine": np.round(sims, 4)}
+            )
+            return out.nlargest(TOP_K, ["cosine"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    local = ds.map_batches(
+        ProbeScore,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "q_ref": q_ref,
+                               "probes": probe_buckets},
+        batch_format="pandas", concurrency=(1, 4),
+    )
+    return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)

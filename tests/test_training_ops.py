@@ -1,0 +1,127 @@
+"""Training-data operators: oracle-checked where SQL can express them,
+structural/determinism checks for the rest."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rfb_cnpj_etl_ray.functions import dedup as D
+from rfb_cnpj_etl_ray.functions import multimodal as M
+from rfb_cnpj_etl_ray.functions import similarity as S
+from rfb_cnpj_etl_ray.functions import text as T
+from tests.conftest import SF_DIR
+from tests.util_compare import assert_query_matches, normalize, to_pandas
+
+ORACLE_CASES = [
+    (T.token_stats, T.TOKEN_STATS_SQL),
+    (T.quality_scores, T.QUALITY_SCORES_SQL),
+    (D.exact_dedup, D.EXACT_DEDUP_SQL),
+    (D.jaccard_block_pairs, D.JACCARD_BLOCK_PAIRS_SQL),
+    (S.ann_topk, S.ANN_TOPK_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", ORACLE_CASES, ids=[c[0].__name__ for c in ORACLE_CASES])
+def test_training_op_matches_oracle(ray_session, fn, sql):
+    assert_query_matches(fn, sql, SF_DIR)
+
+
+def test_language_id_deterministic_and_total(ray_session):
+    a = normalize(to_pandas(T.language_id(SF_DIR)))
+    b = normalize(to_pandas(T.language_id(SF_DIR)))
+    pd.testing.assert_frame_equal(a, b)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(a) == len(docs)
+    assert set(a["pred_lang"]) <= set(T.LANG_PROFILES) | {"und"}
+
+
+def test_fingerprints_deterministic_and_batchsize_invariant(ray_session):
+    a = normalize(to_pandas(T.fingerprints(SF_DIR)))
+    b = normalize(to_pandas(T.fingerprints(SF_DIR)))
+    pd.testing.assert_frame_equal(a, b)
+    # rolling-min-hash must not depend on batch boundaries: compute the
+    # same thing driver-side in one batch
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values("doc_id")
+    rolled = T._rolling_min_hash(docs["text"].reset_index(drop=True))
+    got = a.sort_values("doc_id")["rolling_min_hash"].to_numpy().astype(np.uint64)
+    assert (got == rolled).all()
+
+
+def test_minhash_candidates_superset_of_true_dups(ray_session):
+    """LSH candidates must contain every high-jaccard pair that exact
+    blocked search finds with J >= 0.9 (16 bands × 4 rows: miss prob
+    (1-J^4)^16 < 1e-3 at J=0.9)."""
+    cand = to_pandas(D.minhash_lsh_candidates(SF_DIR))
+    cand_set = set(zip(cand["doc_a"], cand["doc_b"]))
+    exact = to_pandas(D.jaccard_block_pairs(SF_DIR))
+    strong = exact[exact["jaccard"] >= 0.9]
+    missing = [
+        p for p in zip(strong["doc_a"], strong["doc_b"]) if p not in cand_set
+    ]
+    assert not missing, f"LSH missed strong pairs: {missing[:5]}"
+
+
+def test_simhash_close_for_near_dups(ray_session):
+    fp = to_pandas(D.simhash_fingerprints(SF_DIR)).set_index("doc_id")["simhash"]
+    exact = to_pandas(D.jaccard_block_pairs(SF_DIR))
+    strong = exact[exact["jaccard"] >= 0.9]
+    if len(strong):
+        a = fp.loc[strong["doc_a"]].to_numpy().astype(np.uint64)
+        b = fp.loc[strong["doc_b"]].to_numpy().astype(np.uint64)
+        ham = np.array([bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)])
+        assert (ham <= 16).all()
+
+
+def test_embedding_near_dup_structure(ray_session):
+    pairs = to_pandas(D.embedding_near_dup(SF_DIR))
+    assert list(sorted(pairs.columns)) == ["cosine", "vec_a", "vec_b"]
+    if len(pairs):
+        assert (pairs["cosine"] >= D.COSINE_THRESHOLD).all()
+        assert (pairs["vec_a"] < pairs["vec_b"]).all()
+
+
+def test_ann_ivf_matches_probed_bucket_oracle(ray_session):
+    """IVF result must equal a driver-side brute-force search restricted
+    to the same probed buckets (self-consistency — absolute recall is a
+    property of how clustered the data is, not of the operator)."""
+    approx = to_pandas(S.ann_ivf_topk(SF_DIR)).sort_values("vec_id")
+    cent = S._fit_centroids(SF_DIR)
+    q = S._query_vector(SF_DIR)
+    probes = set(np.argsort(cent @ q)[::-1][: S.NUM_PROBES].tolist())
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    mask = np.isin((m @ cent.T).argmax(axis=1), list(probes))
+    sims = np.round(m[mask] @ q, 4)
+    expect = (
+        pd.DataFrame({"vec_id": emb["vec_id"].to_numpy()[mask], "cosine": sims})
+        .sort_values(["cosine", "vec_id"], ascending=[False, True])
+        .head(S.TOP_K)
+        .sort_values("vec_id")
+    )
+    assert list(approx["vec_id"]) == list(expect["vec_id"])
+    # the query vector itself lives in a probed bucket by construction
+    assert 0 in set(approx["vec_id"])
+
+
+def test_multimodal_plumbing(ray_session):
+    feats = to_pandas(M.multimodal_features(SF_DIR))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(feats) == len(docs)
+    assert set(feats.columns) == {"doc_id", "media_type", "width", "height",
+                                  "mean_luma", "n_bytes"}
+    assert (feats["n_bytes"] == docs.set_index("doc_id").loc[
+        feats["doc_id"], "text"].str.encode("utf-8").str.len().to_numpy()).all()
+    # deterministic
+    again = to_pandas(M.multimodal_features(SF_DIR))
+    pd.testing.assert_frame_equal(
+        normalize(feats), normalize(again)
+    )
+
+
+def test_real_decoder_stub_raises(ray_session):
+    import pyarrow as pa
+
+    dec = M.RealDecoder()
+    with pytest.raises(NotImplementedError, match="not in this"):
+        dec(M.MEDIA_SCHEMA.empty_table())

@@ -25,6 +25,22 @@ class EngineConfig:
     #: wide (list<int32>, ~0.5 KB/row) so 32k rows ≈ 16 MB per batch.
     batch_size: int = 32_768
 
+    # --- shuffle strategy -------------------------------------------------
+    #: "staged" (default): two-phase exchange through the staging dir —
+    #: phase-1 tasks append per-partition chunk files, phase-2 tasks merge
+    #: one partition each. No global sort barrier; multi-node the staging
+    #: dir lives on shared storage. "groupby": Ray-native
+    #: groupby(part).map_groups sort shuffle (object-store all-to-all) —
+    #: kept for comparison and for clusters without shared storage.
+    shuffle: str = "staged"
+
+    #: run the per-batch partial LWW reduce in phase 1 (shrinks shuffled
+    #: bytes and collapses hot keys before the exchange).
+    partial_reduce: bool = True
+
+    #: staging chunks are transient — favor speed over ratio.
+    staging_compression: str = "lz4"
+
     # --- skew handling ----------------------------------------------------
     #: two-stage salted merge: stage 1 reduces per (partition, salt) groups,
     #: stage 2 re-merges per partition. 1 = disabled. Only useful when a
@@ -39,6 +55,13 @@ class EngineConfig:
 
     #: CPUs reserved per merger actor/task.
     merge_num_cpus: float = 1.0
+
+    #: CPUs reserved per heavy task in the staged exchange. None → auto:
+    #: 2 when the node advertises SMT-inflated CPU counts (>16), else 1.
+    #: Memory-bandwidth-bound sort/copy kernels gain nothing from
+    #: hyperthread siblings and collapse under 2× oversubscription — one
+    #: task per physical core is the fast configuration.
+    staged_task_num_cpus: float | None = None
 
     # --- sink -------------------------------------------------------------
     #: parquet compression for staged partition files.
@@ -55,6 +78,8 @@ class EngineConfig:
     fail_before_commit: bool = field(default=False, repr=False)
 
     def validate(self) -> None:
+        if self.shuffle not in ("staged", "groupby"):
+            raise ValueError("shuffle must be 'staged' or 'groupby'")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
         if self.salt_factor < 1:

@@ -44,11 +44,25 @@ from rfb_cnpj_etl_ray.stages.merge import (
     PartitionMerger,
     ToInternal,
     internal_schema,
+    make_partition_merger,
+    make_stage_partitioner,
     salted_reduce,
     strip_internal,
 )
 from rfb_cnpj_etl_ray.state.commitlog import CommitLog, load_spec
 from rfb_cnpj_etl_ray.state.manifest import read_manifest, validate_segments
+
+
+def _staged_task_cpus(cfg: EngineConfig) -> float:
+    """SMT-aware task sizing: one heavy task per *physical* core. The
+    sort/copy kernels in the exchange are memory-bandwidth-bound; running
+    two per core (hyperthread siblings) measurably anti-scales."""
+    if cfg.staged_task_num_cpus is not None:
+        return cfg.staged_task_num_cpus
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return 2.0 if cpus > 16 else 1.0
 
 
 def _pool_size(cfg: EngineConfig, num_partitions: int) -> int | tuple[int, int]:
@@ -125,30 +139,69 @@ def ingest(
     )
 
     ds = ray.data.read_parquet(paths, schema=change_schema)
-    ds = ds.map_batches(
-        ToInternal,
-        fn_constructor_kwargs=dict(
-            payload_schema=payload_schema,
-            num_partitions=num_partitions,
-            salt_factor=cfg.salt_factor,
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
-    if cfg.salt_factor > 1:
-        ds = ds.groupby([PART_COL, SALT_COL]).map_groups(
-            salted_reduce, batch_format="pyarrow"
+    if cfg.shuffle == "staged":
+        # two-phase staged exchange (see stages/merge.py): no sort
+        # barrier, elastic task pools, retry-safe by LWW idempotence.
+        import shutil as _shutil
+
+        staging = table_dir / "_staging" / f"epoch-{epoch:06d}"
+        _shutil.rmtree(staging, ignore_errors=True)  # crash leftovers
+        stage_fn = make_stage_partitioner(
+            payload_schema, num_partitions, str(staging),
+            partial_reduce=cfg.partial_reduce,
+            compression=cfg.staging_compression,
         )
-    manifest_ds = ds.groupby(PART_COL).map_groups(
-        PartitionMerger,
-        fn_constructor_kwargs=merger_kwargs,
-        batch_format="pyarrow",
-        concurrency=_pool_size(cfg, num_partitions),
-        num_cpus=cfg.merge_num_cpus,
-    )
-    staged = manifest_ds.take_all()  # ≤ num_partitions tiny rows
+        task_cpus = _staged_task_cpus(cfg)
+        t_p0 = time.perf_counter()
+        stats = ds.map_batches(
+            stage_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
+            zero_copy_batch=True, num_cpus=task_cpus,
+        ).take_all()  # tiny (tasks × touched parts); acts as the barrier
+        t_p1 = time.perf_counter()
+        touched_parts = sorted({r["part"] for r in stats})
+        merge_fn = make_partition_merger(
+            str(table_dir), str(staging), epoch,
+            merger_kwargs["current_files"],
+            merger_kwargs["payload_schema_json"],
+            compression=cfg.compression, row_group_size=cfg.row_group_size,
+        )
+        items = ray.data.from_items(
+            [{"part": int(p)} for p in touched_parts],
+            override_num_blocks=max(1, len(touched_parts)),
+        )
+        staged = items.map_batches(
+            merge_fn, batch_format="pyarrow", batch_size=1, num_cpus=task_cpus
+        ).take_all()
+        t_p2 = time.perf_counter()
+        phase_seconds = {"setup": round(t_p0 - t0, 3),
+                         "stage": round(t_p1 - t_p0, 3),
+                         "merge": round(t_p2 - t_p1, 3)}
+    else:
+        phase_seconds = {}
+        ds = ds.map_batches(
+            ToInternal,
+            fn_constructor_kwargs=dict(
+                payload_schema=payload_schema,
+                num_partitions=num_partitions,
+                salt_factor=cfg.salt_factor,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        if cfg.salt_factor > 1:
+            ds = ds.groupby([PART_COL, SALT_COL]).map_groups(
+                salted_reduce, batch_format="pyarrow"
+            )
+        manifest_ds = ds.groupby(PART_COL).map_groups(
+            PartitionMerger,
+            fn_constructor_kwargs=merger_kwargs,
+            batch_format="pyarrow",
+            concurrency=_pool_size(cfg, num_partitions),
+            num_cpus=cfg.merge_num_cpus,
+        )
+        staged = manifest_ds.take_all()  # ≤ num_partitions tiny rows
     t_staged = time.perf_counter()
 
     if cfg.fail_before_commit:
@@ -181,6 +234,11 @@ def ingest(
         },
     }
     log.append(record)
+    if cfg.shuffle == "staged":
+        import shutil as _shutil
+
+        _shutil.rmtree(table_dir / "_staging" / f"epoch-{epoch:06d}",
+                       ignore_errors=True)
     return {
         "epoch": epoch,
         "segments": [s["name"] for s in new_segs],
@@ -188,6 +246,7 @@ def ingest(
         "partitions_touched": len(staged),
         "noop": False,
         "seconds": time.perf_counter() - t0,
+        "phase_seconds": phase_seconds,
     }
 
 
@@ -248,35 +307,35 @@ def init_lake_distributed(
 
     atomic_write_bytes(table_dir / "_table_spec.json", spec.to_json().encode())
 
-    def to_internal_base(batch: pa.Table) -> pa.Table:
-        from rfb_cnpj_etl_ray.hashing import partition_ids
-        from rfb_cnpj_etl_ray.spec import conform_table
+    import shutil as _shutil
 
-        b = conform_table(batch, spec.schema)
-        n = b.num_rows
-        b = b.append_column(INTERNAL_LSN, pa.array([0] * n, type=pa.int64()))
-        b = b.append_column(INTERNAL_DELETED, pa.array([False] * n, type=pa.bool_()))
-        parts = partition_ids(b.column(spec.key[0]), cfg.num_partitions)
-        return b.append_column(PART_COL, pa.array(parts, type=pa.int32()))
-
-    ds = ray.data.read_parquet(base_files, schema=spec.schema)
-    ds = ds.map_batches(to_internal_base, batch_format="pyarrow",
-                        batch_size=cfg.batch_size, zero_copy_batch=True)
-    manifest_ds = ds.groupby(PART_COL).map_groups(
-        PartitionMerger,
-        fn_constructor_kwargs=dict(
-            table_dir=str(table_dir),
-            epoch=0,
-            current_files={},
-            payload_schema_json=schema_to_jsonable(spec.schema),
-            compression=cfg.compression,
-            row_group_size=cfg.row_group_size,
-        ),
-        batch_format="pyarrow",
-        concurrency=_pool_size(cfg, cfg.num_partitions),
-        num_cpus=cfg.merge_num_cpus,
+    staging = table_dir / "_staging" / "epoch-000000"
+    _shutil.rmtree(staging, ignore_errors=True)
+    stage_fn = make_stage_partitioner(
+        spec.schema, cfg.num_partitions, str(staging),
+        partial_reduce=False, compression=cfg.staging_compression,
+        prep="base",
     )
-    staged = manifest_ds.take_all()
+    ds = ray.data.read_parquet(base_files, schema=spec.schema)
+    task_cpus = _staged_task_cpus(cfg)
+    stats = ds.map_batches(
+        stage_fn, batch_format="pyarrow", batch_size=cfg.batch_size,
+        zero_copy_batch=True, num_cpus=task_cpus,
+    ).take_all()
+    touched_parts = sorted({r["part"] for r in stats})
+    merge_fn = make_partition_merger(
+        str(table_dir), str(staging), 0, {},
+        schema_to_jsonable(spec.schema),
+        compression=cfg.compression, row_group_size=cfg.row_group_size,
+    )
+    items = ray.data.from_items(
+        [{"part": int(p)} for p in touched_parts],
+        override_num_blocks=max(1, len(touched_parts)),
+    )
+    staged = items.map_batches(
+        merge_fn, batch_format="pyarrow", batch_size=1, num_cpus=task_cpus
+    ).take_all()
+    _shutil.rmtree(staging, ignore_errors=True)
     partitions = {
         str(r["part"]): {
             "file": r["file"], "rows": r["rows"], "live_rows": r["live_rows"],

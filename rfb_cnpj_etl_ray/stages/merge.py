@@ -96,7 +96,11 @@ class ToInternal:
         self.salt_factor = salt_factor
         self._out_schema = internal_schema(payload_schema)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def convert_only(self, batch: pa.Table) -> pa.Table:
+        """Change rows → internal+part rows without the partial reduce."""
+        return self(batch, reduce=False)
+
+    def __call__(self, batch: pa.Table, reduce: bool = True) -> pa.Table:
         if batch.num_rows == 0:
             return self._empty()
         lsn = batch.column("lsn")
@@ -107,7 +111,7 @@ class ToInternal:
         internal = pa.Table.from_arrays(
             [cols[f.name] for f in self._out_schema], schema=self._out_schema
         )
-        reduced = lww_reduce(internal)
+        reduced = lww_reduce(internal) if reduce else internal
         parts = partition_ids(reduced.column("doc_id"), self.num_partitions)
         reduced = reduced.append_column(PART_COL, pa.array(parts, type=pa.int32()))
         if self.salt_factor > 1:
@@ -131,6 +135,167 @@ def salted_reduce(group: pa.Table) -> pa.Table:
     if SALT_COL in out.schema.names:
         out = out.drop_columns([SALT_COL])
     return out
+
+
+# ---------------------------------------------------------------------------
+# staged filesystem shuffle (the default merge path)
+# ---------------------------------------------------------------------------
+#
+# Ray's sort/hash groupby is a synchronous object-store all-to-all — at our
+# merge's shape (fixed small partition count, associative fold) a staged
+# two-phase exchange through storage is both faster single-node and the
+# shape real lakehouse ingest uses multi-node (staging dir = shared
+# storage). Phase 1: stateless tasks split each internal batch by
+# partition and append `staging/part=K/<uuid>.parquet`. Phase 2: one task
+# per touched partition merges staged chunks + committed snapshot and
+# stages the next snapshot. Task retries are harmless: duplicate staged
+# chunks collapse in the LWW fold ((doc_id,lsn) ties keep one copy), and
+# snapshot writes are atomic-rename.
+
+def make_stage_partitioner(
+    payload_schema: pa.Schema,
+    num_partitions: int,
+    staging_dir: str,
+    partial_reduce: bool = True,
+    compression: str = "lz4",  # retained for API compat; staging is IPC
+    prep: str = "events",
+):
+    """Build the phase-1 map_batches closure (plain function → elastic
+    task pool, no actor startup cost). ``prep``: "events" converts change
+    batches (lsn, op, payload) to internal rows; "base" stamps snapshot
+    batches with _lsn=0/_deleted=False (lake init).
+
+    One combined sort by (partition, doc_id, lsn) yields both the
+    partial-reduce run boundaries and contiguous partition slices — a
+    single payload gather per batch. Staged chunks are UNCOMPRESSED Arrow
+    IPC files: transient shuffle data, written at memory-bandwidth and
+    mmap'd zero-copy by phase 2 (the lake snapshots stay zstd Parquet)."""
+    import uuid as _uuid
+    from pathlib import Path as _Path
+
+    to_internal = ToInternal(payload_schema, num_partitions)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if prep == "events":
+            routed = to_internal.convert_only(batch)
+        else:
+            n = batch.num_rows
+            b = conform_table(batch, payload_schema)
+            b = b.append_column(INTERNAL_LSN, pa.array(np.zeros(n, np.int64)))
+            b = b.append_column(INTERNAL_DELETED,
+                                pa.array(np.zeros(n, bool)))
+            parts = partition_ids(b.column("doc_id"), num_partitions)
+            routed = b.append_column(PART_COL, pa.array(parts, pa.int32()))
+        if routed.num_rows == 0:
+            return _stage_stats_schema().empty_table()
+        srt = routed.sort_by(
+            [(PART_COL, "ascending"), ("doc_id", "ascending"),
+             (INTERNAL_LSN, "ascending")]
+        )
+        if partial_reduce and prep == "events":
+            keys = srt.column("doc_id").combine_chunks()
+            n = len(keys)
+            boundary = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+            mask = pa.concat_arrays(
+                [boundary.cast(pa.bool_()), pa.array([True], type=pa.bool_())]
+            )
+            srt = srt.filter(mask)
+        parts = srt.column(PART_COL).to_numpy()
+        bounds = np.flatnonzero(np.diff(parts)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(parts)]])
+        rows = []
+        body = srt.drop_columns([PART_COL])
+        uid = _uuid.uuid4().hex
+        for s, e in zip(starts, ends):
+            p = int(parts[s])
+            chunk = body.slice(int(s), int(e - s))
+            pdir = _Path(staging_dir) / f"part={p:04d}"
+            pdir.mkdir(parents=True, exist_ok=True)
+            name = pdir / f"stage-{uid}-{s}.arrow"
+            with pa.OSFile(str(name), "wb") as f:
+                with pa.ipc.new_file(f, chunk.schema) as w:
+                    w.write_table(chunk)
+            rows.append({"part": p, "rows": chunk.num_rows})
+        return pa.Table.from_pylist(rows, schema=_stage_stats_schema())
+
+    return stage
+
+
+def _stage_stats_schema() -> pa.Schema:
+    return pa.schema([pa.field("part", pa.int32()), pa.field("rows", pa.int64())])
+
+
+def make_partition_merger(
+    table_dir: str,
+    staging_dir: str,
+    epoch: int,
+    current_files: dict[int, str],
+    payload_schema_json: list[list[str]],
+    compression: str = "zstd",
+    row_group_size: int = 64 * 1024,
+):
+    """Build the phase-2 closure: merge one partition per input row
+    (feed it a Dataset of {"part": k} items with batch_size=1)."""
+    from rfb_cnpj_etl_ray.spec import schema_from_jsonable
+
+    payload_schema = schema_from_jsonable(payload_schema_json)
+    int_sch = internal_schema(payload_schema)
+    files = {int(k): v for k, v in current_files.items()}
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import os
+        from pathlib import Path as _Path
+
+        import pyarrow.parquet as pq
+
+        out_rows = []
+        for part in batch.column("part").to_pylist():
+            part = int(part)
+            staged_paths = sorted((_Path(staging_dir) / f"part={part:04d}").glob(
+                "stage-*.arrow"))
+            pieces = []
+            for p in staged_paths:
+                with pa.memory_map(str(p), "r") as src:  # zero-copy read
+                    pieces.append(
+                        conform_table(pa.ipc.open_file(src).read_all(), int_sch)
+                    )
+            if not pieces:
+                continue
+            events = pa.concat_tables(pieces)
+            base_rel = files.get(part)
+            if base_rel is not None:
+                base = conform_table(
+                    pq.read_table(os.path.join(table_dir, base_rel)), int_sch
+                )
+                merged = lww_reduce(pa.concat_tables([base, events]))
+            else:
+                merged = lww_reduce(events)
+            # lww_reduce output is already sorted by doc_id (sort + filter
+            # preserve order) — no extra gather needed before writing.
+            rel = f"part={part:04d}/epoch-{epoch:06d}.parquet"
+            size = atomic_write_table(
+                merged, _Path(table_dir) / rel,
+                compression=compression, row_group_size=row_group_size,
+            )
+            live = int(pc.sum(pc.invert(merged[INTERNAL_DELETED])).as_py() or 0)
+            lsns = events.column(INTERNAL_LSN)
+            out_rows.append(
+                {
+                    "part": part,
+                    "file": rel,
+                    "rows": merged.num_rows,
+                    "live_rows": live,
+                    "bytes": size,
+                    "lsn_high": int(pc.max(lsns).as_py()),
+                    "events_applied": events.num_rows,
+                }
+            )
+        if not out_rows:
+            return _manifest_schema().empty_table()
+        return pa.Table.from_pylist(out_rows, schema=_manifest_schema())
+
+    return merge
 
 
 class PartitionMerger:

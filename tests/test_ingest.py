@@ -114,7 +114,22 @@ def test_out_of_order_segment_arrival(ray_session, tmp_path):
 
 
 def test_salted_two_stage_merge_matches(ray_session, tmp_path):
-    base, events, log_dir, lake, cfg = _setup(tmp_path, salt_factor=4)
+    base, events, log_dir, lake, cfg = _setup(tmp_path, salt_factor=4,
+                                              shuffle="groupby")
+    ingest(lake, log_dir, cfg=cfg)
+    assert_states_equal(replay(base, events), read_lake_table(lake))
+
+
+def test_groupby_shuffle_path_matches(ray_session, tmp_path):
+    """The Ray-native groupby merge path must produce the same state as
+    the staged filesystem exchange (both vs the oracle)."""
+    base, events, log_dir, lake, cfg = _setup(tmp_path, shuffle="groupby")
+    ingest(lake, log_dir, cfg=cfg)
+    assert_states_equal(replay(base, events), read_lake_table(lake))
+
+
+def test_no_partial_reduce_matches(ray_session, tmp_path):
+    base, events, log_dir, lake, cfg = _setup(tmp_path, partial_reduce=False)
     ingest(lake, log_dir, cfg=cfg)
     assert_states_equal(replay(base, events), read_lake_table(lake))
 

@@ -1,0 +1,136 @@
+"""CLI — the reference's 5-command surface (``main.py:26-83``: download /
+db init / db load / db index / complete) re-mapped to the CDC engine:
+
+    init      create a lake table from a base snapshot (≈ db init + load)
+    ingest    replay pending change-log segments      (≈ monthly re-load)
+    validate  pre-flight manifest + post-commit invariant gate (≈ FK phase)
+    compact   tombstone GC / snapshot rewrite         (≈ index phase, P9)
+    synth     generate deterministic test data        (no reference analog)
+    bench     see bench.py
+
+CLI entry points own their Ray session (guarded init, shutdown at exit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rfb-cnpj-etl-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="init lake table from base parquet")
+    sp.add_argument("lake")
+    sp.add_argument("base_parquet", nargs="+")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--num-partitions", type=int, default=32)
+
+    sp = sub.add_parser("ingest", help="replay pending change-log segments")
+    sp.add_argument("lake")
+    sp.add_argument("log_dir")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--shuffle", default="staged", choices=["staged", "groupby"])
+    sp.add_argument("--batch-size", type=int, default=None)
+
+    sp = sub.add_parser("validate", help="manifest + lake invariant gates")
+    sp.add_argument("lake")
+    sp.add_argument("--log-dir", default=None)
+    sp.add_argument("--table", default="sequences")
+
+    sp = sub.add_parser("compact", help="tombstone GC below an LSN watermark")
+    sp.add_argument("lake")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--watermark-lsn", type=int, default=None)
+
+    sp = sub.add_parser("synth", help="generate deterministic base+log data")
+    sp.add_argument("out_dir")
+    sp.add_argument("--docs", type=int, default=10_000)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--segments", type=int, default=8)
+    sp.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":  # no Ray needed
+        from rfb_cnpj_etl_ray.synth import synth_dataset
+
+        root = synth_dataset(args.out_dir, n_docs=args.docs,
+                             n_events=args.events, n_segments=args.segments,
+                             seed=args.seed)
+        print(json.dumps({"out": str(root), "docs": args.docs,
+                          "events": args.events}))
+        return 0
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    _ray_session(args.num_cpus)
+
+    try:
+        if args.cmd == "init":
+            from rfb_cnpj_etl_ray.config import EngineConfig
+            from rfb_cnpj_etl_ray.pipelines.ingest import init_lake_distributed
+            from rfb_cnpj_etl_ray.spec import PAYLOAD_SCHEMA, TableSpec
+
+            rec = init_lake_distributed(
+                args.lake,
+                TableSpec(name=args.table, schema=PAYLOAD_SCHEMA),
+                args.base_parquet,
+                cfg=EngineConfig(num_partitions=args.num_partitions),
+            )
+            print(json.dumps({"epoch": rec["epoch"],
+                              "rows": rec["metrics"]["rows_total"]}))
+        elif args.cmd == "ingest":
+            from rfb_cnpj_etl_ray.config import EngineConfig
+            from rfb_cnpj_etl_ray.pipelines.ingest import ingest
+
+            kw = {"shuffle": args.shuffle}
+            if args.batch_size:
+                kw["batch_size"] = args.batch_size
+            report = ingest(args.lake, args.log_dir, table=args.table,
+                            cfg=EngineConfig(**kw))
+            print(json.dumps(report))
+        elif args.cmd == "validate":
+            from rfb_cnpj_etl_ray.pipelines.maintenance import validate_lake
+            from rfb_cnpj_etl_ray.state.manifest import validate_segments
+
+            out = {}
+            if args.log_dir:
+                out["manifest"] = validate_segments(args.log_dir, strict=False)
+            out["lake"] = validate_lake(args.lake, args.table, strict=False)
+            print(json.dumps(out))
+            return 0 if out["lake"]["ok"] else 1
+        elif args.cmd == "compact":
+            from rfb_cnpj_etl_ray.pipelines.maintenance import compact
+
+            print(json.dumps(compact(args.lake, args.table,
+                                     watermark_lsn=args.watermark_lsn)))
+    finally:
+        if owns_session:  # don't tear down a caller-owned session
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

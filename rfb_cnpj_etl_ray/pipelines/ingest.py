@@ -150,6 +150,7 @@ def ingest(
             payload_schema, num_partitions, str(staging),
             partial_reduce=cfg.partial_reduce,
             compression=cfg.staging_compression,
+            min_lsn_exclusive=last.get("compaction_watermark"),
         )
         task_cpus = _staged_task_cpus(cfg)
         t_p0 = time.perf_counter()
@@ -225,6 +226,10 @@ def ingest(
         "partitions": partitions,
         "segments": sorted(committed_segments | {s["name"] for s in new_segs}),
         "parent": last["epoch"],
+        **(
+            {"compaction_watermark": last["compaction_watermark"]}
+            if last.get("compaction_watermark") is not None else {}
+        ),
         "metrics": {
             "events_read": events_read,
             "segments_this_epoch": [s["name"] for s in new_segs],

@@ -1,0 +1,202 @@
+"""Post-commit validation + compaction — the engine's integrity-gate and
+index-phase analogs.
+
+Validation mirrors the reference's final FK gate (enable/create
+constraints AFTER load+patch; failure = pipeline error,
+sqlite_builder.py:109-125, postgres_builder.py:138-184): instead of DB
+constraints, a distributed scan asserts the lake's invariants. Runs as
+one task per partition — same unit of work as the merge.
+
+Compaction is the (optional) index-phase analog (P9): partition
+snapshots are already doc_id-sorted (zone-map-friendly); compaction
+additionally drops tombstones below an LSN watermark. GC invariant: once
+a tombstone at lsn L is dropped, NO event with lsn <= watermark may ever
+be applied again — ingest enforces this by filtering late events below
+the recorded ``compaction_watermark`` (real CDC systems make the same
+trade; the reference has no deletes at all, it drops the whole DB).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from rfb_cnpj_etl_ray.config import EngineConfig
+from rfb_cnpj_etl_ray.hashing import partition_ids
+from rfb_cnpj_etl_ray.spec import conform_table, schema_from_jsonable
+from rfb_cnpj_etl_ray.stages.merge import (
+    INTERNAL_DELETED,
+    INTERNAL_LSN,
+    internal_schema,
+)
+from rfb_cnpj_etl_ray.state.commitlog import CommitLog, atomic_write_table
+
+
+class LakeValidationError(RuntimeError):
+    pass
+
+
+def validate_lake(lake_dir: str | Path, table: str = "sequences",
+                  strict: bool = True) -> dict:
+    """Distributed invariant scan of the committed lake state:
+
+    1. key uniqueness per partition (hash partitioning makes this global);
+    2. placement: every row's hash-partition equals its directory;
+    3. payload invariant: n_tok == len(tokens) on live rows;
+    4. manifest consistency: file row counts match the commit record.
+
+    Returns a report; with ``strict`` raises LakeValidationError on any
+    violation (the reference aborts on FK failure the same way)."""
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    commit = log.latest()
+    if commit is None:
+        raise LakeValidationError(f"no commits in {table_dir}")
+    int_sch = internal_schema(schema_from_jsonable(commit["schema"]))
+    num_partitions = commit["num_partitions"]
+    items = [
+        {"part": int(p), "file": v["file"], "rows": int(v["rows"])}
+        for p, v in commit["partitions"].items()
+    ]
+
+    def check(batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for row in batch.to_pylist():
+            part, rel, want_rows = row["part"], row["file"], row["rows"]
+            path = os.path.join(str(table_dir), rel)
+            errs = []
+            if not os.path.exists(path):
+                errs.append("missing_file")
+                out.append({"part": part, "violations": errs, "rows": 0})
+                continue
+            t = conform_table(pq.read_table(path), int_sch)
+            if t.num_rows != want_rows:
+                errs.append(f"rowcount:{t.num_rows}!={want_rows}")
+            keys = t.column("doc_id")
+            if t.num_rows and len(keys.unique()) != t.num_rows:
+                errs.append("duplicate_keys")
+            if t.num_rows:
+                parts = partition_ids(keys, num_partitions)
+                if not (parts == part).all():
+                    errs.append("misplaced_rows")
+            live = t.filter(pc.equal(t[INTERNAL_DELETED], False))
+            if live.num_rows and "n_tok" in t.schema.names \
+                    and "tokens" in t.schema.names:
+                lens = pc.list_value_length(live.column("tokens"))
+                ok = pc.equal(lens.cast(pa.int64()),
+                              live.column("n_tok").cast(pa.int64()))
+                bad = int(pc.sum(pc.invert(pc.fill_null(ok, False))).as_py() or 0)
+                null_both = int(pc.sum(pc.and_(
+                    pc.is_null(live.column("tokens")),
+                    pc.is_null(live.column("n_tok")))).as_py() or 0)
+                if bad - 0 > 0 and bad > null_both:
+                    errs.append(f"n_tok_mismatch:{bad - null_both}")
+            out.append({"part": part, "violations": errs, "rows": t.num_rows})
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [pa.field("part", pa.int32()),
+             pa.field("violations", pa.list_(pa.string())),
+             pa.field("rows", pa.int64())]
+        ))
+
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    results = ds.map_batches(check, batch_format="pyarrow", batch_size=1).take_all()
+    violations = {r["part"]: r["violations"] for r in results if r["violations"]}
+    report = {
+        "table": table,
+        "epoch": commit["epoch"],
+        "partitions_checked": len(results),
+        "rows_total": sum(r["rows"] for r in results),
+        "violations": violations,
+        "ok": not violations,
+    }
+    if strict and violations:
+        raise LakeValidationError(f"lake invariants violated: {violations}")
+    return report
+
+
+def compact(lake_dir: str | Path, table: str = "sequences",
+            watermark_lsn: int | None = None,
+            cfg: EngineConfig | None = None) -> dict:
+    """Rewrite partitions dropping tombstones with _lsn <= watermark
+    (default: the table's max committed lsn — full tombstone GC). Commits
+    a new epoch recording ``compaction_watermark``; subsequent ingests
+    refuse to apply events at or below it (GC safety)."""
+    cfg = cfg or EngineConfig()
+    t0 = time.perf_counter()
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    commit = log.latest()
+    if commit is None:
+        raise RuntimeError(f"no commits in {table_dir}")
+    int_sch = internal_schema(schema_from_jsonable(commit["schema"]))
+    if watermark_lsn is None:
+        highs = [v["lsn_high"] for v in commit["partitions"].values()
+                 if v.get("lsn_high") is not None]
+        watermark_lsn = max(highs) if highs else 0
+    epoch = commit["epoch"] + 1
+    items = [{"part": int(p), "file": v["file"]}
+             for p, v in commit["partitions"].items()]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        for row in batch.to_pylist():
+            part, rel = row["part"], row["file"]
+            t = conform_table(
+                pq.read_table(os.path.join(str(table_dir), rel)), int_sch
+            )
+            drop = pc.and_(
+                pc.equal(t[INTERNAL_DELETED], True),
+                pc.less_equal(t[INTERNAL_LSN], watermark_lsn),
+            )
+            kept = t.filter(pc.invert(drop))
+            new_rel = f"part={part:04d}/epoch-{epoch:06d}.parquet"
+            size = atomic_write_table(
+                kept, table_dir / new_rel,
+                compression=cfg.compression, row_group_size=cfg.row_group_size,
+            )
+            live = int(pc.sum(pc.invert(kept[INTERNAL_DELETED])).as_py() or 0)
+            rows.append({"part": part, "file": new_rel, "rows": kept.num_rows,
+                         "live_rows": live, "bytes": size,
+                         "dropped": t.num_rows - kept.num_rows})
+        return pa.Table.from_pylist(rows)
+
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    results = ds.map_batches(rewrite, batch_format="pyarrow", batch_size=1).take_all()
+
+    partitions = dict(commit["partitions"])
+    dropped = 0
+    for r in results:
+        old = partitions[str(r["part"])]
+        partitions[str(r["part"])] = {
+            **old, "file": r["file"], "rows": r["rows"],
+            "live_rows": r["live_rows"], "bytes": r["bytes"],
+        }
+        dropped += r["dropped"]
+    log.append({
+        "epoch": epoch,
+        "table": table,
+        "num_partitions": commit["num_partitions"],
+        "schema": commit["schema"],
+        "partitions": partitions,
+        "segments": commit.get("segments", []),
+        "parent": commit["epoch"],
+        "compaction_watermark": int(watermark_lsn),
+        "metrics": {"tombstones_dropped": dropped,
+                    "seconds": round(time.perf_counter() - t0, 3)},
+    })
+    return {"epoch": epoch, "watermark_lsn": int(watermark_lsn),
+            "tombstones_dropped": dropped}

@@ -159,6 +159,7 @@ def make_stage_partitioner(
     partial_reduce: bool = True,
     compression: str = "lz4",  # retained for API compat; staging is IPC
     prep: str = "events",
+    min_lsn_exclusive: int | None = None,
 ):
     """Build the phase-1 map_batches closure (plain function → elastic
     task pool, no actor startup cost). ``prep``: "events" converts change
@@ -177,6 +178,15 @@ def make_stage_partitioner(
 
     def stage(batch: pa.Table) -> pa.Table:
         if prep == "events":
+            if min_lsn_exclusive is not None:
+                # GC safety: a compaction dropped tombstones up to the
+                # watermark, so events at or below it must never re-apply
+                # (they could resurrect deleted keys). Late arrivals below
+                # the watermark are dropped here, like any CDC system
+                # past its retention horizon.
+                batch = batch.filter(
+                    pc.greater(batch.column("lsn"), min_lsn_exclusive)
+                )
             routed = to_internal.convert_only(batch)
         else:
             n = batch.num_rows

@@ -1,0 +1,175 @@
+"""CSV/zip source parity (S5/S6), validation gate (P8 analog),
+compaction + GC invariant."""
+
+import io
+import json
+import zipfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from rfb_cnpj_etl_ray.config import EngineConfig
+from rfb_cnpj_etl_ray.oracle import assert_states_equal, replay
+from rfb_cnpj_etl_ray.pipelines.ingest import ingest, read_lake_table
+from rfb_cnpj_etl_ray.pipelines.maintenance import (
+    LakeValidationError,
+    compact,
+    validate_lake,
+)
+from rfb_cnpj_etl_ray.sources.csv_source import (
+    read_csv_files,
+    read_zip_csv,
+    route_targets,
+)
+from rfb_cnpj_etl_ray.spec import PAYLOAD_SCHEMA, TableSpec
+from rfb_cnpj_etl_ray.state.commitlog import CommitLog, init_lake
+from rfb_cnpj_etl_ray.synth import make_base, make_changelog, write_changelog_segments
+
+SPEC = TableSpec(name="sequences", schema=PAYLOAD_SCHEMA)
+
+
+# --- S6 routing -----------------------------------------------------------
+
+def test_route_targets_strips_digits_and_multitargets():
+    registry = {
+        "empresa": TableSpec("empresa", PAYLOAD_SCHEMA,
+                             source_file_stems=("empresas",)),
+        "estabelecimento": TableSpec("estabelecimento", PAYLOAD_SCHEMA,
+                                     source_file_stems=("estabelecimentos",)),
+        "estab_cnae": TableSpec("estab_cnae", PAYLOAD_SCHEMA,
+                                source_file_stems=("estabelecimentos",)),
+    }
+    assert route_targets("Empresas3.zip", registry) == ["empresa"]
+    # one file feeds several tables (db_batch_producer.py:18-28)
+    assert route_targets("Estabelecimentos12.zip", registry) == [
+        "estabelecimento", "estab_cnae"
+    ]
+    assert route_targets("Unknown5.zip", registry) == []
+
+
+# --- S5 zip/CSV reader ----------------------------------------------------
+
+def _make_zip(members: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, text in members.items():
+            zf.writestr(name, text.encode("latin-1"))
+    return buf.getvalue()
+
+
+def test_read_zip_csv_latin1_headerless(ray_session, tmp_path):
+    cols = ["cnpj_basico", "razao_social", "capital_social"]
+    z1 = _make_zip({
+        "K3241.K03200Y0.D50510.EMPRECSV": "111;ACME AÇAÍ;1.234,56\n222;Beta;0\n",
+        "second_member": "333;Gamma;9,99\n",
+    })
+    (tmp_path / "Empresas0.zip").write_bytes(z1)
+    ds = read_zip_csv([str(tmp_path / "Empresas0.zip")], cols)
+    out = ds.to_pandas().sort_values("cnpj_basico").reset_index(drop=True)
+    assert list(out.columns) == cols
+    assert out["razao_social"].tolist() == ["ACME AÇAÍ", "Beta", "Gamma"]
+    assert out["capital_social"].tolist() == ["1.234,56", "0", "9,99"]
+
+
+def test_read_csv_files_plain(ray_session, tmp_path):
+    f = tmp_path / "socio1.csv"
+    f.write_bytes("1;José;20200101\n2;Ana;0\n".encode("latin-1"))
+    ds = read_csv_files([str(f)], ["id", "nome", "data_entrada"])
+    out = ds.to_pandas().sort_values("id")
+    assert out["nome"].tolist() == ["José", "Ana"]
+
+
+# --- P8 validation gate ---------------------------------------------------
+
+def _mk_lake(tmp_path, n_docs=200, n_events=1000, num_partitions=4):
+    base = make_base(n_docs, seed=5, max_len=32)
+    events = make_changelog(n_events, n_docs, seed=6, max_len=32)
+    log_dir = tmp_path / "log"
+    write_changelog_segments(events, log_dir, 4)
+    lake = tmp_path / "lake"
+    cfg = EngineConfig(num_partitions=num_partitions)
+    init_lake(lake, SPEC, base=base, num_partitions=num_partitions)
+    ingest(lake, log_dir, cfg=cfg)
+    return base, events, log_dir, lake, cfg
+
+
+def test_validate_lake_passes_on_healthy_table(ray_session, tmp_path):
+    *_, lake, cfg = _mk_lake(tmp_path)
+    report = validate_lake(lake)
+    assert report["ok"] and not report["violations"]
+    assert report["partitions_checked"] == 4
+
+
+def test_validate_lake_detects_corruption(ray_session, tmp_path):
+    *_, lake, cfg = _mk_lake(tmp_path)
+    # corrupt: overwrite one partition file with rows from another part
+    log = CommitLog(lake / "sequences")
+    files = log.current_files()
+    import shutil
+
+    shutil.copy(files[1], files[0])
+    with pytest.raises(LakeValidationError):
+        validate_lake(lake)
+    report = validate_lake(lake, strict=False)
+    assert 0 in report["violations"]
+    assert any("misplaced" in v or "rowcount" in v
+               for v in report["violations"][0])
+
+
+# --- compaction + GC invariant -------------------------------------------
+
+def test_compact_drops_tombstones_preserves_live_state(ray_session, tmp_path):
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    before = read_lake_table(lake)
+    # tombstones exist (op mix has 10% deletes)
+    log = CommitLog(lake / "sequences")
+    total_rows = sum(v["rows"] for v in log.latest()["partitions"].values())
+    assert total_rows > before.num_rows
+    r = compact(lake)
+    assert r["tombstones_dropped"] == total_rows - before.num_rows
+    after = read_lake_table(lake)
+    assert_states_equal(before, after)
+    log2 = CommitLog(lake / "sequences")
+    assert log2.latest()["compaction_watermark"] == r["watermark_lsn"]
+    assert sum(v["rows"] for v in log2.latest()["partitions"].values()) \
+        == before.num_rows
+
+
+def test_post_compaction_ingest_drops_late_events(ray_session, tmp_path):
+    """After GC, a late segment below the watermark must be ignored (not
+    resurrect deleted keys), while events above it still apply."""
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    state = read_lake_table(lake)
+    r = compact(lake)
+    wm = r["watermark_lsn"]
+    # craft a late segment: one event BELOW the watermark targeting a
+    # deleted doc (would resurrect), one ABOVE it (a fresh insert)
+    deleted_docs = sorted(
+        set(events.filter(pc.equal(events["op"], "D"))["doc_id"].to_pylist())
+        - set(state["doc_id"].to_pylist())
+    )
+    late = pa.Table.from_pylist(
+        [
+            {"lsn": wm - 1, "op": "U", "doc_id": deleted_docs[0],
+             "tokens": [1, 2], "n_tok": 2, "source": "web"},
+            {"lsn": wm + 1000, "op": "I", "doc_id": "docFRESH01",
+             "tokens": [7], "n_tok": 1, "source": "web"},
+        ],
+        schema=events.schema,
+    )
+    import pyarrow.parquet as pq
+
+    seg = log_dir / "seg-90000.parquet"
+    pq.write_table(late, seg)
+    manifest = json.loads((log_dir / "manifest.json").read_text())
+    manifest["segments"].append({
+        "name": seg.name, "rows": 2, "min_lsn": wm - 1,
+        "max_lsn": wm + 1000, "bytes": seg.stat().st_size,
+    })
+    (log_dir / "manifest.json").write_text(json.dumps(manifest))
+    ingest(lake, log_dir, cfg=cfg)
+    after = read_lake_table(lake)
+    ids = set(after["doc_id"].to_pylist())
+    assert "docFRESH01" in ids          # above watermark: applied
+    assert deleted_docs[0] not in ids   # below watermark: dropped (GC safety)

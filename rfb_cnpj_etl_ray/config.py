@@ -41,6 +41,15 @@ class EngineConfig:
     #: staging chunks are transient — favor speed over ratio.
     staging_compression: str = "lz4"
 
+    #: "cow" (copy-on-write): every touched partition is rewritten as a
+    #: full snapshot per epoch — best for one big replay or read-heavy
+    #: tables. "delta" (merge-on-read): each epoch appends only the
+    #: LWW-reduced new events per partition; readers (and later merges)
+    #: fold base+deltas on the fly, and ``compact`` folds them back into
+    #: one snapshot. Delta mode removes the O(table size) write
+    #: amplification per epoch — the steady-state CDC configuration.
+    write_mode: str = "cow"
+
     # --- skew handling ----------------------------------------------------
     #: two-stage salted merge: stage 1 reduces per (partition, salt) groups,
     #: stage 2 re-merges per partition. 1 = disabled. Only useful when a
@@ -80,6 +89,10 @@ class EngineConfig:
     def validate(self) -> None:
         if self.shuffle not in ("staged", "groupby"):
             raise ValueError("shuffle must be 'staged' or 'groupby'")
+        if self.write_mode not in ("cow", "delta"):
+            raise ValueError("write_mode must be 'cow' or 'delta'")
+        if self.write_mode == "delta" and self.shuffle != "staged":
+            raise ValueError("write_mode='delta' requires shuffle='staged'")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
         if self.salt_factor < 1:

@@ -132,7 +132,10 @@ def ingest(
     merger_kwargs = dict(
         table_dir=str(table_dir),
         epoch=epoch,
-        current_files={int(k): v["file"] for k, v in last["partitions"].items()},
+        current_files={
+            int(k): [v["file"]] + list(v.get("deltas", []))
+            for k, v in last["partitions"].items()
+        },
         payload_schema_json=schema_to_jsonable(payload_schema),
         compression=cfg.compression,
         row_group_size=cfg.row_group_size,
@@ -165,6 +168,7 @@ def ingest(
             merger_kwargs["current_files"],
             merger_kwargs["payload_schema_json"],
             compression=cfg.compression, row_group_size=cfg.row_group_size,
+            write_mode=cfg.write_mode,
         )
         items = ray.data.from_items(
             [{"part": int(p)} for p in touched_parts],
@@ -210,14 +214,29 @@ def ingest(
 
     partitions = dict(last["partitions"])
     for row in staged:
-        partitions[str(row["part"])] = {
-            "file": row["file"],
-            "rows": row["rows"],
-            "live_rows": row["live_rows"],
-            "bytes": row["bytes"],
-            "lsn_high": row["lsn_high"],
-            "events_applied": row["events_applied"],
-        }
+        prev = partitions.get(str(row["part"]), {})
+        if cfg.shuffle == "staged" and cfg.write_mode == "delta":
+            # merge-on-read: keep the base snapshot, append the delta;
+            # physical rows accumulate, logical live count is unknown
+            # until the next fold (compact / cow epoch / read).
+            partitions[str(row["part"])] = {
+                "file": prev.get("file"),
+                "deltas": list(prev.get("deltas", [])) + [row["file"]],
+                "rows": int(prev.get("rows", 0)) + row["rows"],
+                "live_rows": None,
+                "bytes": int(prev.get("bytes", 0)) + row["bytes"],
+                "lsn_high": row["lsn_high"],
+                "events_applied": row["events_applied"],
+            }
+        else:
+            partitions[str(row["part"])] = {
+                "file": row["file"],
+                "rows": row["rows"],
+                "live_rows": row["live_rows"],
+                "bytes": row["bytes"],
+                "lsn_high": row["lsn_high"],
+                "events_applied": row["events_applied"],
+            }
     record = {
         "epoch": epoch,
         "table": table,
@@ -234,7 +253,11 @@ def ingest(
             "events_read": events_read,
             "segments_this_epoch": [s["name"] for s in new_segs],
             "partitions_touched": len(staged),
-            "rows_total": sum(int(p.get("live_rows", p["rows"])) for p in partitions.values()),
+            "rows_total": sum(
+                int(p["live_rows"] if p.get("live_rows") is not None
+                    else p["rows"])
+                for p in partitions.values()
+            ),
             "stage_seconds": round(t_staged - t0, 3),
         },
     }
@@ -260,15 +283,42 @@ def read_lake(
     table: str = "sequences",
     include_tombstones: bool = False,
 ) -> "ray.data.Dataset":
-    """Current committed state as a streaming Dataset (public payload view)."""
-    log = CommitLog(Path(lake_dir) / table)
-    files = [str(p) for p in log.current_files().values()]
+    """Current committed state as a streaming Dataset (public payload view).
+
+    CoW tables stream straight off the snapshot files. A table with
+    pending deltas (write_mode="delta") needs the merge-on-read fold, so
+    partitions are loaded by per-partition tasks instead."""
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
     payload_schema = log.committed_schema()
-    # partitioning=None: the hive-style part=NNNN layout is an internal
-    # placement detail, not a user-facing column.
-    ds = ray.data.read_parquet(
-        files, schema=internal_schema(payload_schema), partitioning=None
-    )
+    int_sch = internal_schema(payload_schema)
+    if not log.has_deltas():
+        files = [str(p) for p in log.current_files().values()]
+        # partitioning=None: the hive-style part=NNNN layout is an
+        # internal placement detail, not a user-facing column.
+        ds = ray.data.read_parquet(files, schema=int_sch, partitioning=None)
+    else:
+        from rfb_cnpj_etl_ray.spec import schema_to_jsonable
+
+        file_lists = log.partition_file_lists()
+        sch_json = schema_to_jsonable(payload_schema)
+        tdir = str(table_dir)
+
+        def fold(batch: pa.Table) -> pa.Table:
+            from rfb_cnpj_etl_ray.spec import schema_from_jsonable
+            from rfb_cnpj_etl_ray.stages.merge import load_partition_state
+
+            isch = internal_schema(schema_from_jsonable(sch_json))
+            out = [
+                load_partition_state(tdir, row["rels"], isch)
+                for row in batch.to_pylist()
+            ]
+            return pa.concat_tables(out) if out else isch.empty_table()
+
+        items = [{"part": p, "rels": rels} for p, rels in file_lists.items()]
+        ds = ray.data.from_items(
+            items, override_num_blocks=max(1, len(items))
+        ).map_batches(fold, batch_format="pyarrow", batch_size=1)
     if include_tombstones:
         return ds
     return ds.map_batches(
@@ -280,14 +330,16 @@ def read_lake(
 
 def read_lake_table(lake_dir: str | Path, table: str = "sequences") -> pa.Table:
     """Driver-side full read — tests/small tables only."""
-    log = CommitLog(Path(lake_dir) / table)
+    from rfb_cnpj_etl_ray.stages.merge import load_partition_state
+
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
     payload = log.committed_schema()
     int_sch = internal_schema(payload)
-    tables = []
-    for p in log.current_files().values():
-        from rfb_cnpj_etl_ray.spec import conform_table
-
-        tables.append(conform_table(pq.read_table(p), int_sch))
+    tables = [
+        load_partition_state(str(table_dir), rels, int_sch)
+        for rels in log.partition_file_lists().values()
+    ]
     merged = pa.concat_tables(tables) if tables else int_sch.empty_table()
     return strip_internal(merged).sort_by([("doc_id", "ascending")])
 

@@ -61,7 +61,8 @@ def validate_lake(lake_dir: str | Path, table: str = "sequences",
     int_sch = internal_schema(schema_from_jsonable(commit["schema"]))
     num_partitions = commit["num_partitions"]
     items = [
-        {"part": int(p), "file": v["file"], "rows": int(v["rows"])}
+        {"part": int(p), "rels": [v["file"]] + list(v.get("deltas", [])),
+         "rows": int(v["rows"])}
         for p, v in commit["partitions"].items()
     ]
 
@@ -70,18 +71,26 @@ def validate_lake(lake_dir: str | Path, table: str = "sequences",
 
         import pyarrow.parquet as pq
 
+        from rfb_cnpj_etl_ray.stages.merge import load_partition_state
+
         out = []
         for row in batch.to_pylist():
-            part, rel, want_rows = row["part"], row["file"], row["rows"]
-            path = os.path.join(str(table_dir), rel)
+            part, rels, want_rows = row["part"], row["rels"], row["rows"]
             errs = []
-            if not os.path.exists(path):
+            missing = [r for r in rels
+                       if not os.path.exists(os.path.join(str(table_dir), r))]
+            if missing:
                 errs.append("missing_file")
                 out.append({"part": part, "violations": errs, "rows": 0})
                 continue
-            t = conform_table(pq.read_table(path), int_sch)
-            if t.num_rows != want_rows:
-                errs.append(f"rowcount:{t.num_rows}!={want_rows}")
+            physical = sum(
+                pq.read_metadata(os.path.join(str(table_dir), r)).num_rows
+                for r in rels
+            )
+            if physical != want_rows:
+                errs.append(f"rowcount:{physical}!={want_rows}")
+            # logical (merge-on-read folded) state for the content checks
+            t = load_partition_state(str(table_dir), rels, int_sch)
             keys = t.column("doc_id")
             if t.num_rows and len(keys.unique()) != t.num_rows:
                 errs.append("duplicate_keys")
@@ -144,20 +153,17 @@ def compact(lake_dir: str | Path, table: str = "sequences",
                  if v.get("lsn_high") is not None]
         watermark_lsn = max(highs) if highs else 0
     epoch = commit["epoch"] + 1
-    items = [{"part": int(p), "file": v["file"]}
+    items = [{"part": int(p), "rels": [v["file"]] + list(v.get("deltas", []))}
              for p, v in commit["partitions"].items()]
 
     def rewrite(batch: pa.Table) -> pa.Table:
-        import os
-
-        import pyarrow.parquet as pq
+        from rfb_cnpj_etl_ray.stages.merge import load_partition_state
 
         rows = []
         for row in batch.to_pylist():
-            part, rel = row["part"], row["file"]
-            t = conform_table(
-                pq.read_table(os.path.join(str(table_dir), rel)), int_sch
-            )
+            part, rels = row["part"], row["rels"]
+            # fold base + deltas (merge-on-read) into one snapshot, then GC
+            t = load_partition_state(str(table_dir), rels, int_sch)
             drop = pc.and_(
                 pc.equal(t[INTERNAL_DELETED], True),
                 pc.less_equal(t[INTERNAL_LSN], watermark_lsn),
@@ -181,10 +187,12 @@ def compact(lake_dir: str | Path, table: str = "sequences",
     dropped = 0
     for r in results:
         old = partitions[str(r["part"])]
-        partitions[str(r["part"])] = {
+        entry = {
             **old, "file": r["file"], "rows": r["rows"],
             "live_rows": r["live_rows"], "bytes": r["bytes"],
         }
+        entry.pop("deltas", None)  # deltas folded into the new snapshot
+        partitions[str(r["part"])] = entry
         dropped += r["dropped"]
     log.append({
         "epoch": epoch,

@@ -236,28 +236,53 @@ def _stage_stats_schema() -> pa.Schema:
     return pa.schema([pa.field("part", pa.int32()), pa.field("rows", pa.int64())])
 
 
+def load_partition_state(
+    table_dir: str, rels: list[str], int_sch: pa.Schema
+) -> pa.Table:
+    """Materialize one partition's logical state: fold the base snapshot
+    plus any delta files (merge-on-read) with the LWW reduce. With a
+    single (cow) snapshot this is just a conforming read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tables = [
+        conform_table(pq.read_table(os.path.join(table_dir, rel)), int_sch)
+        for rel in rels
+    ]
+    if not tables:
+        return int_sch.empty_table()
+    if len(tables) == 1:
+        return tables[0]
+    return lww_reduce(pa.concat_tables(tables))
+
+
 def make_partition_merger(
     table_dir: str,
     staging_dir: str,
     epoch: int,
-    current_files: dict[int, str],
+    current_files: dict[int, list[str]],
     payload_schema_json: list[list[str]],
     compression: str = "zstd",
     row_group_size: int = 64 * 1024,
+    write_mode: str = "cow",
 ):
     """Build the phase-2 closure: merge one partition per input row
-    (feed it a Dataset of {"part": k} items with batch_size=1)."""
+    (feed it a Dataset of {"part": k} items with batch_size=1).
+
+    ``write_mode="cow"``: fold staged events with the partition's current
+    state (base + any deltas) and write the next full snapshot.
+    ``write_mode="delta"``: write only the LWW-reduced NEW events as a
+    delta file — no base read, no O(partition) rewrite; readers and the
+    next cow/compact fold it in (merge-on-read)."""
     from rfb_cnpj_etl_ray.spec import schema_from_jsonable
 
     payload_schema = schema_from_jsonable(payload_schema_json)
     int_sch = internal_schema(payload_schema)
-    files = {int(k): v for k, v in current_files.items()}
+    files = {int(k): list(v) for k, v in current_files.items()}
 
     def merge(batch: pa.Table) -> pa.Table:
-        import os
         from pathlib import Path as _Path
-
-        import pyarrow.parquet as pq
 
         out_rows = []
         for part in batch.column("part").to_pylist():
@@ -272,24 +297,25 @@ def make_partition_merger(
                     )
             if not pieces:
                 continue
-            events = pa.concat_tables(pieces)
-            base_rel = files.get(part)
-            if base_rel is not None:
-                base = conform_table(
-                    pq.read_table(os.path.join(table_dir, base_rel)), int_sch
-                )
-                merged = lww_reduce(pa.concat_tables([base, events]))
+            events = lww_reduce(pa.concat_tables(pieces))
+            lsns = events.column(INTERNAL_LSN)
+            if write_mode == "delta":
+                merged = events
+                rel = f"part={part:04d}/delta-{epoch:06d}.parquet"
+                live = None
             else:
-                merged = lww_reduce(events)
-            # lww_reduce output is already sorted by doc_id (sort + filter
-            # preserve order) — no extra gather needed before writing.
-            rel = f"part={part:04d}/epoch-{epoch:06d}.parquet"
+                base = load_partition_state(table_dir, files.get(part, []),
+                                            int_sch)
+                merged = lww_reduce(pa.concat_tables([base, events])) \
+                    if base.num_rows else events
+                # lww_reduce output is already doc_id-sorted (sort+filter
+                # preserve order) — no extra gather before writing.
+                rel = f"part={part:04d}/epoch-{epoch:06d}.parquet"
+                live = int(pc.sum(pc.invert(merged[INTERNAL_DELETED])).as_py() or 0)
             size = atomic_write_table(
                 merged, _Path(table_dir) / rel,
                 compression=compression, row_group_size=row_group_size,
             )
-            live = int(pc.sum(pc.invert(merged[INTERNAL_DELETED])).as_py() or 0)
-            lsns = events.column(INTERNAL_LSN)
             out_rows.append(
                 {
                     "part": part,
@@ -325,7 +351,7 @@ class PartitionMerger:
         self,
         table_dir: str,
         epoch: int,
-        current_files: dict[int, str],
+        current_files: dict[int, "list[str] | str"],
         payload_schema_json: list[list[str]],
         compression: str = "zstd",
         row_group_size: int = 64 * 1024,
@@ -334,15 +360,16 @@ class PartitionMerger:
 
         self.table_dir = table_dir
         self.epoch = epoch
-        self.current_files = {int(k): v for k, v in current_files.items()}
+        self.current_files = {
+            int(k): ([v] if isinstance(v, str) else list(v))
+            for k, v in current_files.items()
+        }
         self.payload_schema = schema_from_jsonable(payload_schema_json)
         self.int_schema = internal_schema(self.payload_schema)
         self.compression = compression
         self.row_group_size = row_group_size
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import os
-
         if group.num_rows == 0:
             return _manifest_schema().empty_table()
         part = int(group.column(PART_COL)[0].as_py())
@@ -350,13 +377,10 @@ class PartitionMerger:
             group.drop_columns([c for c in (PART_COL, SALT_COL) if c in group.schema.names]),
             self.int_schema,
         )
-        base_rel = self.current_files.get(part)
-        if base_rel is not None:
-            import pyarrow.parquet as pq
-
-            base = conform_table(
-                pq.read_table(os.path.join(self.table_dir, base_rel)), self.int_schema
-            )
+        base = load_partition_state(
+            self.table_dir, self.current_files.get(part, []), self.int_schema
+        )
+        if base.num_rows:
             merged = lww_reduce(pa.concat_tables([base, events]))
         else:
             merged = lww_reduce(events)

@@ -102,11 +102,27 @@ class CommitLog:
         }
 
     def current_files(self) -> dict[int, Path]:
-        """partition -> current committed snapshot file."""
+        """partition -> current committed base snapshot file."""
         c = self.latest()
         if c is None:
             return {}
         return {int(k): self.table_dir / v["file"] for k, v in c["partitions"].items()}
+
+    def partition_file_lists(self) -> dict[int, list[str]]:
+        """partition -> [base snapshot, *delta files] (relative paths).
+        The logical partition state is the LWW fold over this list
+        (merge-on-read; a cow table has single-element lists)."""
+        c = self.latest()
+        if c is None:
+            return {}
+        return {
+            int(k): [v["file"]] + list(v.get("deltas", []))
+            for k, v in c["partitions"].items()
+        }
+
+    def has_deltas(self) -> bool:
+        c = self.latest()
+        return bool(c) and any(v.get("deltas") for v in c["partitions"].values())
 
     def committed_schema(self) -> pa.Schema | None:
         c = self.latest()

@@ -218,8 +218,76 @@ def scaling() -> None:
     print(json.dumps(result))
 
 
+def steady_state() -> None:
+    """Steady-state CDC comparison: many small epochs, cow vs delta.
+
+    Shows the write-amplification story: cow rewrites every touched
+    partition per epoch (O(table)); delta appends O(events) and defers
+    the fold to compaction. Prints one JSON line with per-epoch seconds
+    for both modes + the final delta compaction cost."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from rfb_cnpj_etl_ray import EngineConfig, PAYLOAD_SCHEMA, TableSpec
+    from rfb_cnpj_etl_ray.pipelines import ingest
+    from rfb_cnpj_etl_ray.pipelines.ingest import init_lake_distributed
+    from rfb_cnpj_etl_ray.pipelines.maintenance import compact
+    from rfb_cnpj_etl_ray.synth import make_changelog, synth_dataset, write_changelog_segments
+
+    n_docs = int(os.environ.get("GRAFT_STEADY_DOCS", "1000000"))
+    epoch_events = int(os.environ.get("GRAFT_STEADY_EPOCH_EVENTS", "250000"))
+    n_epochs = int(os.environ.get("GRAFT_STEADY_EPOCHS", "8"))
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
+    base_data = synth_dataset(tmp / f"steady_base_{n_docs}", n_docs=n_docs,
+                              n_events=1, n_segments=1, max_len=64)
+    log_root = tmp / f"steady_logs_{n_docs}_{epoch_events}_{n_epochs}"
+    if not (log_root / "_done").exists():
+        for e in range(n_epochs):
+            ev = make_changelog(epoch_events, n_docs, seed=1000 + e,
+                                start_lsn=10_000_000 + e * epoch_events,
+                                max_len=64)
+            write_changelog_segments(ev, log_root / f"epoch{e}", 8,
+                                     shuffle_seed=e)
+        (log_root / "_done").write_text("1")
+
+    result = {"metric": "steady_state", "num_cpus": NUM_CPUS,
+              "n_docs": n_docs, "epoch_events": epoch_events,
+              "n_epochs": n_epochs}
+    for mode in ("cow", "delta"):
+        lake = tmp / f"steady_lake_{mode}_{NUM_CPUS}"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = EngineConfig(num_partitions=NUM_PARTITIONS, write_mode=mode)
+        init_lake_distributed(
+            lake, TableSpec(name="sequences", schema=PAYLOAD_SCHEMA),
+            [str(base_data / "base.parquet")], cfg=cfg,
+        )
+        secs = []
+        for e in range(n_epochs):
+            t0 = time.perf_counter()
+            ingest(lake, log_root / f"epoch{e}", cfg=cfg)
+            secs.append(round(time.perf_counter() - t0, 2))
+        result[f"{mode}_epoch_sec"] = secs
+        result[f"{mode}_total_sec"] = round(sum(secs), 2)
+        if mode == "delta":
+            t0 = time.perf_counter()
+            compact(lake)
+            result["delta_compact_sec"] = round(time.perf_counter() - t0, 2)
+    result["delta_speedup_per_epoch"] = round(
+        (result["cow_total_sec"] / max(result["delta_total_sec"], 1e-9)), 2
+    )
+    print(json.dumps(result))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--steady" in sys.argv:
+        steady_state()
     else:
         main()

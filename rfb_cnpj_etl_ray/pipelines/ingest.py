@@ -105,8 +105,16 @@ def ingest(
 
     validate_segments(log_dir, strict=True)
     manifest = read_manifest(log_dir)
+
+    def seg_id(s: dict) -> str:
+        # segment identity = name + lsn range + rows: same-named files
+        # from different log directories/epochs are distinct, while a
+        # re-presented committed segment (duplicated-batch injection)
+        # keeps its identity and is pruned without a read.
+        return f'{s["name"]}@{s.get("min_lsn")}-{s.get("max_lsn")}#{s["rows"]}'
+
     new_segs = [s for s in sorted(manifest["segments"], key=lambda s: s["name"])
-                if s["name"] not in committed_segments]
+                if seg_id(s) not in committed_segments]
     if not new_segs:
         return {
             "epoch": last["epoch"], "segments": [], "events_read": 0,
@@ -219,6 +227,10 @@ def ingest(
             # merge-on-read: keep the base snapshot, append the delta;
             # physical rows accumulate, logical live count is unknown
             # until the next fold (compact / cow epoch / read).
+            mins = [m for m in (prev.get("doc_id_min"), row["doc_id_min"])
+                    if m is not None]
+            maxs = [m for m in (prev.get("doc_id_max"), row["doc_id_max"])
+                    if m is not None]
             partitions[str(row["part"])] = {
                 "file": prev.get("file"),
                 "deltas": list(prev.get("deltas", [])) + [row["file"]],
@@ -227,6 +239,8 @@ def ingest(
                 "bytes": int(prev.get("bytes", 0)) + row["bytes"],
                 "lsn_high": row["lsn_high"],
                 "events_applied": row["events_applied"],
+                "doc_id_min": min(mins) if mins else None,
+                "doc_id_max": max(maxs) if maxs else None,
             }
         else:
             partitions[str(row["part"])] = {
@@ -236,6 +250,8 @@ def ingest(
                 "bytes": row["bytes"],
                 "lsn_high": row["lsn_high"],
                 "events_applied": row["events_applied"],
+                "doc_id_min": row["doc_id_min"],
+                "doc_id_max": row["doc_id_max"],
             }
     record = {
         "epoch": epoch,
@@ -243,7 +259,7 @@ def ingest(
         "num_partitions": num_partitions,
         "schema": schema_to_jsonable(payload_schema),
         "partitions": partitions,
-        "segments": sorted(committed_segments | {s["name"] for s in new_segs}),
+        "segments": sorted(committed_segments | {seg_id(s) for s in new_segs}),
         "parent": last["epoch"],
         **(
             {"compaction_watermark": last["compaction_watermark"]}
@@ -342,6 +358,51 @@ def read_lake_table(lake_dir: str | Path, table: str = "sequences") -> pa.Table:
     ]
     merged = pa.concat_tables(tables) if tables else int_sch.empty_table()
     return strip_internal(merged).sort_by([("doc_id", "ascending")])
+
+
+def lookup(
+    lake_dir: str | Path,
+    doc_ids: list[str],
+    table: str = "sequences",
+) -> pa.Table:
+    """Point lookups without a scan: hash each key to its partition, prune
+    further by the commit record's doc_id zone maps, fold only the files
+    of the partitions actually hit. The engine's secondary-index analog
+    (reference builds 18 B-tree indexes instead, sqlite_builder.py:127-168).
+    Driver-side: O(|hit partitions|) file reads, no Ray job."""
+    from rfb_cnpj_etl_ray.hashing import partition_ids
+    from rfb_cnpj_etl_ray.stages.merge import load_partition_state
+
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    commit = log.latest()
+    if commit is None:
+        raise RuntimeError(f"lake table {table_dir} not initialized")
+    payload = log.committed_schema()
+    int_sch = internal_schema(payload)
+    parts = partition_ids(doc_ids, commit["num_partitions"])
+    wanted: dict[int, list[str]] = {}
+    for d, p in zip(doc_ids, parts):
+        entry = commit["partitions"].get(str(int(p)))
+        if entry is None:
+            continue
+        lo, hi = entry.get("doc_id_min"), entry.get("doc_id_max")
+        if lo is not None and hi is not None and not (lo <= d <= hi):
+            continue  # zone-map prune
+        wanted.setdefault(int(p), []).append(d)
+    hits = []
+    for p, keys in wanted.items():
+        entry = commit["partitions"][str(p)]
+        rels = [entry["file"]] + list(entry.get("deltas", []))
+        state = load_partition_state(str(table_dir), rels, int_sch)
+        import pyarrow.compute as pc_
+
+        sel = state.filter(pc_.is_in(state.column("doc_id"),
+                                     value_set=pa.array(keys)))
+        hits.append(strip_internal(sel))
+    if not hits:
+        return payload.empty_table()
+    return pa.concat_tables(hits).sort_by([("doc_id", "ascending")])
 
 
 def init_lake_distributed(

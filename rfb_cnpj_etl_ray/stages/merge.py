@@ -316,6 +316,7 @@ def make_partition_merger(
                 merged, _Path(table_dir) / rel,
                 compression=compression, row_group_size=row_group_size,
             )
+            keys = merged.column("doc_id")
             out_rows.append(
                 {
                     "part": part,
@@ -325,6 +326,11 @@ def make_partition_merger(
                     "bytes": size,
                     "lsn_high": int(pc.max(lsns).as_py()),
                     "events_applied": events.num_rows,
+                    # zone-map stats: snapshots are doc_id-sorted, so the
+                    # range prunes point lookups / range scans (the
+                    # engine's secondary-index analog, SURVEY P9)
+                    "doc_id_min": keys[0].as_py() if merged.num_rows else None,
+                    "doc_id_max": keys[-1].as_py() if merged.num_rows else None,
                 }
             )
         if not out_rows:
@@ -397,6 +403,7 @@ class PartitionMerger:
         )
         live = int(pc.sum(pc.invert(merged[INTERNAL_DELETED])).as_py() or 0)
         lsns = events.column(INTERNAL_LSN)
+        keys = merged.column("doc_id")
         return pa.Table.from_pylist(
             [
                 {
@@ -407,6 +414,8 @@ class PartitionMerger:
                     "bytes": size,
                     "lsn_high": int(pc.max(lsns).as_py()),
                     "events_applied": events.num_rows,
+                    "doc_id_min": keys[0].as_py() if merged.num_rows else None,
+                    "doc_id_max": keys[-1].as_py() if merged.num_rows else None,
                 }
             ],
             schema=_manifest_schema(),
@@ -423,5 +432,7 @@ def _manifest_schema() -> pa.Schema:
             pa.field("bytes", pa.int64()),
             pa.field("lsn_high", pa.int64()),
             pa.field("events_applied", pa.int64()),
+            pa.field("doc_id_min", pa.string()),
+            pa.field("doc_id_max", pa.string()),
         ]
     )

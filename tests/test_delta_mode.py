@@ -102,3 +102,21 @@ def test_mixed_cow_then_delta_then_cow(ray_session, tmp_path):
 def test_delta_requires_staged_shuffle():
     with pytest.raises(ValueError, match="delta"):
         EngineConfig(write_mode="delta", shuffle="groupby").validate()
+
+
+def test_lookup_point_reads(ray_session, tmp_path):
+    """Zone-map point lookup returns exactly the oracle's rows for both
+    present and absent keys, on a delta (merge-on-read) table."""
+    from rfb_cnpj_etl_ray.pipelines.ingest import lookup
+
+    base, events, log_dir, lake, cfg, _ = _setup(tmp_path)
+    ingest(lake, log_dir, cfg=cfg)
+    expected = replay(base, events)
+    exp_ids = expected["doc_id"].to_pylist()
+    probe = [exp_ids[0], exp_ids[len(exp_ids) // 2], exp_ids[-1],
+             "docNOPE9999"]
+    out = lookup(lake, probe)
+    assert out["doc_id"].to_pylist() == sorted(probe[:3])
+    by = {r["doc_id"]: r for r in expected.to_pylist()}
+    for row in out.to_pylist():
+        assert row["tokens"] == by[row["doc_id"]]["tokens"]

@@ -298,21 +298,34 @@ def read_lake(
     lake_dir: str | Path,
     table: str = "sequences",
     include_tombstones: bool = False,
+    columns: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Current committed state as a streaming Dataset (public payload view).
 
-    CoW tables stream straight off the snapshot files. A table with
-    pending deltas (write_mode="delta") needs the merge-on-read fold, so
-    partitions are loaded by per-partition tasks instead."""
+    CoW tables stream straight off the snapshot files (with ``columns``
+    pruned at the read). A table with pending deltas (write_mode="delta")
+    needs the merge-on-read fold, so partitions are loaded by
+    per-partition tasks instead (the fold needs doc_id+_lsn regardless;
+    projection happens after)."""
     table_dir = Path(lake_dir) / table
     log = CommitLog(table_dir)
     payload_schema = log.committed_schema()
     int_sch = internal_schema(payload_schema)
     if not log.has_deltas():
         files = [str(p) for p in log.current_files().values()]
+        read_cols = None
+        if columns is not None and not include_tombstones:
+            need = set(columns) | {INTERNAL_DELETED}
+            read_cols = [f.name for f in int_sch if f.name in need]
         # partitioning=None: the hive-style part=NNNN layout is an
-        # internal placement detail, not a user-facing column.
+        # internal placement detail, not a user-facing column. Column
+        # pruning happens right after the read (Ray 2.49's columns= is
+        # incompatible with both partitioning=None and an explicit
+        # unified schema); the projection drops columns before anything
+        # crosses the object store.
         ds = ray.data.read_parquet(files, schema=int_sch, partitioning=None)
+        if read_cols is not None:
+            ds = ds.select_columns(read_cols)
     else:
         from rfb_cnpj_etl_ray.spec import schema_to_jsonable
 

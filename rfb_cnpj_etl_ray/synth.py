@@ -43,9 +43,22 @@ def _token_lists(rng: np.random.Generator, n: int, min_len: int, max_len: int
 
 
 def _doc_ids(idx: np.ndarray) -> pa.Array:
-    """doc{i:08d} for each index — vectorized via char-array assembly."""
-    digits = np.char.zfill(idx.astype("U8"), 8)
-    return pa.array(np.char.add("doc", digits))
+    """doc{i:08d} for each index — pure digit arithmetic into a fixed-width
+    byte matrix (np.char.* is ~µs/row; this is ~ns/row, which matters when
+    synthesizing 10^7+ events)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size and idx.max() >= 100_000_000:
+        raise ValueError("doc index space exceeds the doc{i:08d} format")
+    ndig = 8
+    out = np.empty((len(idx), 3 + ndig), dtype=np.uint8)
+    out[:, 0], out[:, 1], out[:, 2] = ord("d"), ord("o"), ord("c")
+    powers = 10 ** np.arange(ndig - 1, -1, -1, dtype=np.int64)
+    out[:, 3:] = (idx[:, None] // powers) % 10 + ord("0")
+    flat = out.tobytes()
+    width = 3 + ndig
+    return pa.array(
+        np.frombuffer(flat, dtype=f"S{width}")
+    ).cast(pa.string())
 
 
 def make_base(n_docs: int, seed: int = 42, min_len: int = 8, max_len: int = 256) -> pa.Table:

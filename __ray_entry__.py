@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_per_order": R.parts_per_order,
         "top_orders": R.top_orders,
         "hourly_user_activity": R.hourly_user_activity,
+        "lagged_events": R.lagged_events,
+        "running_user_totals": R.running_user_totals,
         # training-data operators (north-rule additions)
         "token_stats": T.token_stats,
         "quality_scores": T.quality_scores,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_per_order": R.PARTS_PER_ORDER_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "hourly_user_activity": R.HOURLY_USER_ACTIVITY_SQL,
+        "lagged_events": R.LAGGED_EVENTS_SQL,
+        "running_user_totals": R.RUNNING_USER_TOTALS_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,

@@ -449,3 +449,51 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
+
+
+# ---------------------------------------------------------------------------
+# window functions over an ordered stream (SURVEY §2.6 — the engine adds
+# these; the reference delegates all windowing to SQL)
+# ---------------------------------------------------------------------------
+
+def lagged_events(sf_dir: str):
+    """Per-key LAG: each event paired with the previous event's value in
+    (event_id) order — groupby(key).map_groups with an in-group sort, the
+    portable Ray Data window pattern (no watermarks needed: the window
+    frame is defined by the grouping key + an explicit order column)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        g["prev_value"] = g["value"].shift(1)
+        return g
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+LAGGED_EVENTS_SQL = """
+SELECT event_id, user_id, value,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+FROM events
+"""
+
+
+def running_user_totals(sf_dir: str):
+    """Per-key running aggregate (cumulative sum ordered by event_id) —
+    the unbounded-preceding window frame as a sorted in-group cumsum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        g["running_value"] = g["value"].cumsum().round(2)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+RUNNING_USER_TOTALS_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""

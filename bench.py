@@ -57,9 +57,15 @@ QUERY_NAMES = [
 
 
 def _bench_input() -> Path:
-    from rfb_cnpj_etl_ray.synth import synth_dataset
+    from rfb_cnpj_etl_ray.synth import synth_dataset, synth_dataset_big
 
     cache = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
+    if N_EVENTS > 16_000_000:  # chunked generation for 10^8-scale logs
+        return synth_dataset_big(
+            cache / f"bench_big_{N_DOCS}_{N_EVENTS}",
+            n_docs=N_DOCS, n_events=N_EVENTS,
+            n_segments=max(32, NUM_PARTITIONS), max_len=64,
+        )
     return synth_dataset(
         cache / f"bench_{N_DOCS}_{N_EVENTS}",
         n_docs=N_DOCS, n_events=N_EVENTS, n_segments=max(8, NUM_PARTITIONS),

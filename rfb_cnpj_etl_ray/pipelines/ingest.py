@@ -170,7 +170,8 @@ def ingest(
             zero_copy_batch=True, num_cpus=task_cpus,
         ).take_all()  # tiny (tasks × touched parts); acts as the barrier
         t_p1 = time.perf_counter()
-        touched_parts = sorted({r["part"] for r in stats})
+        events_dropped_late = sum(r["rows"] for r in stats if r["part"] < 0)
+        touched_parts = sorted({r["part"] for r in stats if r["part"] >= 0})
         merge_fn = make_partition_merger(
             str(table_dir), str(staging), epoch,
             merger_kwargs["current_files"],
@@ -269,6 +270,9 @@ def ingest(
             "events_read": events_read,
             "segments_this_epoch": [s["name"] for s in new_segs],
             "partitions_touched": len(staged),
+            "events_dropped_late": (
+                events_dropped_late if cfg.shuffle == "staged" else 0
+            ),
             "rows_total": sum(
                 int(p["live_rows"] if p.get("live_rows") is not None
                     else p["rows"])
@@ -288,6 +292,9 @@ def ingest(
         "segments": [s["name"] for s in new_segs],
         "events_read": events_read,
         "partitions_touched": len(staged),
+        "events_dropped_late": (
+            events_dropped_late if cfg.shuffle == "staged" else 0
+        ),
         "noop": False,
         "seconds": time.perf_counter() - t0,
         "phase_seconds": phase_seconds,

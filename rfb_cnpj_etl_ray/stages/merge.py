@@ -177,6 +177,7 @@ def make_stage_partitioner(
     to_internal = ToInternal(payload_schema, num_partitions)
 
     def stage(batch: pa.Table) -> pa.Table:
+        n_dropped_late = 0
         if prep == "events":
             if min_lsn_exclusive is not None:
                 # GC safety: a compaction dropped tombstones up to the
@@ -184,9 +185,11 @@ def make_stage_partitioner(
                 # (they could resurrect deleted keys). Late arrivals below
                 # the watermark are dropped here, like any CDC system
                 # past its retention horizon.
+                before = batch.num_rows
                 batch = batch.filter(
                     pc.greater(batch.column("lsn"), min_lsn_exclusive)
                 )
+                n_dropped_late = before - batch.num_rows
             routed = to_internal.convert_only(batch)
         else:
             n = batch.num_rows
@@ -197,6 +200,13 @@ def make_stage_partitioner(
             parts = partition_ids(b.column("doc_id"), num_partitions)
             routed = b.append_column(PART_COL, pa.array(parts, pa.int32()))
         if routed.num_rows == 0:
+            if n_dropped_late:
+                # sentinel row: part=-1 carries the late-drop count so the
+                # driver can report it (M6 metrics analog, progress.py)
+                return pa.Table.from_pylist(
+                    [{"part": -1, "rows": n_dropped_late}],
+                    schema=_stage_stats_schema(),
+                )
             return _stage_stats_schema().empty_table()
         srt = routed.sort_by(
             [(PART_COL, "ascending"), ("doc_id", "ascending"),
@@ -227,6 +237,8 @@ def make_stage_partitioner(
                 with pa.ipc.new_file(f, chunk.schema) as w:
                     w.write_table(chunk)
             rows.append({"part": p, "rows": chunk.num_rows})
+        if n_dropped_late:
+            rows.append({"part": -1, "rows": n_dropped_late})
         return pa.Table.from_pylist(rows, schema=_stage_stats_schema())
 
     return stage

@@ -178,6 +178,58 @@ def write_changelog_segments(
     return manifest
 
 
+def synth_dataset_big(
+    root: str | Path,
+    n_docs: int,
+    n_events: int,
+    n_segments: int,
+    seed: int = 42,
+    min_len: int = 8,
+    max_len: int = 64,
+) -> Path:
+    """Chunked variant for 10^8-scale logs: each segment is generated and
+    written independently (own RNG substream, contiguous lsn range,
+    intra-segment arrival shuffle), so no single Arrow array ever exceeds
+    the 2^31 list-offset limit and peak memory stays ~one segment."""
+    root = Path(root)
+    stamp = {
+        "n_docs": n_docs, "n_events": n_events, "n_segments": n_segments,
+        "seed": seed, "min_len": min_len, "max_len": max_len, "v": 2,
+        "chunked": True,
+    }
+    stamp_path = root / "_synth.json"
+    if stamp_path.exists() and json.loads(stamp_path.read_text()) == stamp:
+        return root
+    root.mkdir(parents=True, exist_ok=True)
+    base = make_base(n_docs, seed=seed, min_len=min_len, max_len=max_len)
+    pq.write_table(base, root / "base.parquet", compression="zstd")
+    log_dir = root / "log"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    per_seg = n_events // n_segments
+    segs = []
+    start = 10_000_000
+    for k in range(n_segments):
+        n = per_seg if k < n_segments - 1 else n_events - per_seg * (n_segments - 1)
+        ev = make_changelog(
+            n, n_docs, seed=seed + 100 + k, start_lsn=start,
+            min_len=min_len, max_len=max_len,
+        )
+        start += n
+        perm = np.random.default_rng(seed + 500 + k).permutation(n)
+        ev = ev.take(pa.array(perm))
+        name = f"seg-{k:05d}.parquet"
+        pq.write_table(ev, log_dir / name, compression="zstd")
+        lsns = ev.column("lsn").to_numpy()
+        segs.append({"name": name, "rows": n,
+                     "min_lsn": int(lsns.min()), "max_lsn": int(lsns.max()),
+                     "bytes": os.path.getsize(log_dir / name)})
+    tmp = log_dir / "manifest.json.tmp"
+    tmp.write_text(json.dumps({"segments": segs}, indent=2))
+    os.replace(tmp, log_dir / "manifest.json")
+    stamp_path.write_text(json.dumps(stamp))
+    return root
+
+
 def synth_dataset(
     root: str | Path,
     n_docs: int,

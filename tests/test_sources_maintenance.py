@@ -173,3 +173,28 @@ def test_post_compaction_ingest_drops_late_events(ray_session, tmp_path):
     ids = set(after["doc_id"].to_pylist())
     assert "docFRESH01" in ids          # above watermark: applied
     assert deleted_docs[0] not in ids   # below watermark: dropped (GC safety)
+
+
+def test_late_drop_count_reported(ray_session, tmp_path):
+    """The ingest report counts GC-watermark-dropped late events."""
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    compact(lake)
+    wm = CommitLog(lake / "sequences").latest()["compaction_watermark"]
+    late = pa.Table.from_pylist(
+        [{"lsn": wm - 5, "op": "U", "doc_id": "doc00000001",
+          "tokens": [1], "n_tok": 1, "source": "web"},
+         {"lsn": wm + 77, "op": "I", "doc_id": "docNEW00001",
+          "tokens": [2], "n_tok": 1, "source": "web"}],
+        schema=events.schema,
+    )
+    import pyarrow.parquet as pq
+
+    seg = log_dir / "seg-91000.parquet"
+    pq.write_table(late, seg)
+    manifest = json.loads((log_dir / "manifest.json").read_text())
+    manifest["segments"].append({"name": seg.name, "rows": 2,
+                                 "min_lsn": wm - 5, "max_lsn": wm + 77,
+                                 "bytes": seg.stat().st_size})
+    (log_dir / "manifest.json").write_text(json.dumps(manifest))
+    report = ingest(lake, log_dir, cfg=cfg)
+    assert report["events_dropped_late"] == 1

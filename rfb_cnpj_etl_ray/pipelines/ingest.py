@@ -162,6 +162,7 @@ def ingest(
             partial_reduce=cfg.partial_reduce,
             compression=cfg.staging_compression,
             min_lsn_exclusive=last.get("compaction_watermark"),
+            worker_threads=int(_staged_task_cpus(cfg)),
         )
         task_cpus = _staged_task_cpus(cfg)
         t_p0 = time.perf_counter()
@@ -178,6 +179,7 @@ def ingest(
             merger_kwargs["payload_schema_json"],
             compression=cfg.compression, row_group_size=cfg.row_group_size,
             write_mode=cfg.write_mode,
+            worker_threads=int(task_cpus),
         )
         items = ray.data.from_items(
             [{"part": int(p)} for p in touched_parts],
@@ -453,6 +455,7 @@ def init_lake_distributed(
         spec.schema, cfg.num_partitions, str(staging),
         partial_reduce=False, compression=cfg.staging_compression,
         prep="base",
+        worker_threads=int(_staged_task_cpus(cfg)),
     )
     ds = ray.data.read_parquet(base_files, schema=spec.schema)
     task_cpus = _staged_task_cpus(cfg)
@@ -465,6 +468,7 @@ def init_lake_distributed(
         str(table_dir), str(staging), 0, {},
         schema_to_jsonable(spec.schema),
         compression=cfg.compression, row_group_size=cfg.row_group_size,
+        worker_threads=int(task_cpus),
     )
     items = ray.data.from_items(
         [{"part": int(p)} for p in touched_parts],

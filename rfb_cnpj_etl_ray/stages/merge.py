@@ -43,6 +43,24 @@ INTERNAL_DELETED = "_deleted"
 PART_COL = "__part"
 SALT_COL = "__salt"
 
+_WORKER_THREADS_SET = False
+
+
+def tune_worker_threads(n: int = 1) -> None:
+    """Pin Arrow's internal CPU/IO pools inside a Ray worker process.
+
+    By default every worker sizes Arrow's pool to all machine cores, so a
+    nominally-1-CPU task silently borrows every idle core — great for a
+    single job, but it oversubscribes under full load and falsifies
+    scaling measurements (a 4-CPU run secretly uses 16 cores). One call
+    per worker process; idempotent."""
+    global _WORKER_THREADS_SET
+    if not _WORKER_THREADS_SET:
+        n = max(1, int(n))
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+        _WORKER_THREADS_SET = True
+
 
 def internal_schema(payload_schema: pa.Schema) -> pa.Schema:
     """Materialized partition-file schema: payload + merge bookkeeping."""
@@ -160,6 +178,7 @@ def make_stage_partitioner(
     compression: str = "lz4",  # retained for API compat; staging is IPC
     prep: str = "events",
     min_lsn_exclusive: int | None = None,
+    worker_threads: int = 1,
 ):
     """Build the phase-1 map_batches closure (plain function → elastic
     task pool, no actor startup cost). ``prep``: "events" converts change
@@ -177,6 +196,7 @@ def make_stage_partitioner(
     to_internal = ToInternal(payload_schema, num_partitions)
 
     def stage(batch: pa.Table) -> pa.Table:
+        tune_worker_threads(worker_threads)
         n_dropped_late = 0
         if prep == "events":
             if min_lsn_exclusive is not None:
@@ -278,6 +298,7 @@ def make_partition_merger(
     compression: str = "zstd",
     row_group_size: int = 64 * 1024,
     write_mode: str = "cow",
+    worker_threads: int = 1,
 ):
     """Build the phase-2 closure: merge one partition per input row
     (feed it a Dataset of {"part": k} items with batch_size=1).
@@ -294,6 +315,7 @@ def make_partition_merger(
     files = {int(k): list(v) for k, v in current_files.items()}
 
     def merge(batch: pa.Table) -> pa.Table:
+        tune_worker_threads(worker_threads)
         from pathlib import Path as _Path
 
         out_rows = []

@@ -303,6 +303,48 @@ def ingest(
     }
 
 
+def tail(
+    lake_dir: str | Path,
+    log_dir: str | Path,
+    table: str = "sequences",
+    cfg: EngineConfig | None = None,
+    poll_interval: float = 1.0,
+    idle_rounds_to_stop: int = 3,
+    max_rounds: int | None = None,
+) -> dict:
+    """Continuous WAL-tail mode: poll the segment manifest, ingest
+    whatever is new, repeat — the streaming face of the same exactly-once
+    batch machinery (each round is one atomic epoch; a crash at any point
+    resumes exactly like single-shot ingest). Stops after
+    ``idle_rounds_to_stop`` consecutive empty polls (or ``max_rounds``).
+
+    Reference analog: the monthly re-run loop a human performs
+    (README.md:23-24), collapsed to an in-process poller. Producers append
+    segments + atomically replace manifest.json; no other coordination.
+    """
+    cfg = cfg or EngineConfig()
+    rounds, idle, epochs = 0, 0, []
+    total_events = 0
+    while True:
+        rounds += 1
+        try:
+            report = ingest(lake_dir, log_dir, table=table, cfg=cfg)
+        except FileNotFoundError:
+            report = {"noop": True}  # manifest not written yet
+        if report.get("noop"):
+            idle += 1
+            if idle >= idle_rounds_to_stop:
+                break
+        else:
+            idle = 0
+            epochs.append(report["epoch"])
+            total_events += report["events_read"]
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        time.sleep(poll_interval)
+    return {"rounds": rounds, "epochs": epochs, "events_applied": total_events}
+
+
 def read_lake(
     lake_dir: str | Path,
     table: str = "sequences",

@@ -80,7 +80,7 @@ def run_headline() -> dict:
     setup. Before timing: page cache warmed (untimed reads) and the Ray
     worker pool warmed with a small throwaway ingest — first-task worker
     spawn/import costs are session artifacts, not pipeline throughput."""
-    import pyarrow.parquet as pq
+
 
     from rfb_cnpj_etl_ray import EngineConfig, PAYLOAD_SCHEMA, TableSpec
     from rfb_cnpj_etl_ray.pipelines import ingest

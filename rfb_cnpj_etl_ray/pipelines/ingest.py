@@ -49,7 +49,7 @@ from rfb_cnpj_etl_ray.stages.merge import (
     salted_reduce,
     strip_internal,
 )
-from rfb_cnpj_etl_ray.state.commitlog import CommitLog, load_spec
+from rfb_cnpj_etl_ray.state.commitlog import CommitLog
 from rfb_cnpj_etl_ray.state.manifest import read_manifest, validate_segments
 
 

@@ -29,7 +29,7 @@ import ray.data
 
 from rfb_cnpj_etl_ray.config import EngineConfig
 from rfb_cnpj_etl_ray.hashing import partition_ids
-from rfb_cnpj_etl_ray.spec import conform_table, schema_from_jsonable
+from rfb_cnpj_etl_ray.spec import schema_from_jsonable
 from rfb_cnpj_etl_ray.stages.merge import (
     INTERNAL_DELETED,
     INTERNAL_LSN,

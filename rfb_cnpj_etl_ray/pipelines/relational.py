@@ -245,7 +245,7 @@ def pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(

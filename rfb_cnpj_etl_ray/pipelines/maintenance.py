@@ -133,6 +133,127 @@ def validate_lake(lake_dir: str | Path, table: str = "sequences",
     return report
 
 
+def repartition_lake(
+    lake_dir: str | Path,
+    new_num_partitions: int,
+    table: str = "sequences",
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Change the table's hash-partition count (e.g. 2× when partitions
+    outgrow a merge task's memory as the table grows toward 100 TB).
+
+    Runs as one epoch of the normal staged exchange: every current
+    partition's folded state is re-routed under the new modulus and
+    re-merged — all existing machinery (atomic snapshots, commit record)
+    applies; the commit flips ``num_partitions`` so subsequent ingests
+    route with the new modulus. Tombstones and per-row ``_lsn`` travel
+    along, so replay semantics are unchanged."""
+    import ray.data
+
+    from rfb_cnpj_etl_ray.spec import schema_to_jsonable
+    from rfb_cnpj_etl_ray.stages.merge import (
+        PART_COL,
+        load_partition_state,
+        make_partition_merger,
+    )
+
+    cfg = cfg or EngineConfig()
+    t0 = time.perf_counter()
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    commit = log.latest()
+    if commit is None:
+        raise RuntimeError(f"no commits in {table_dir}")
+    payload_schema = schema_from_jsonable(commit["schema"])
+    int_sch = internal_schema(payload_schema)
+    epoch = commit["epoch"] + 1
+
+    import shutil as _shutil
+
+    staging = table_dir / "_staging" / f"epoch-{epoch:06d}"
+    _shutil.rmtree(staging, ignore_errors=True)
+    sch_json = schema_to_jsonable(payload_schema)
+    tdir = str(table_dir)
+
+    # phase 1: per OLD partition, fold its state and re-route + stage
+    # under the NEW modulus (writes go straight into the staged layout)
+    def restage(batch: pa.Table) -> pa.Table:
+        import uuid as _uuid
+
+        out = []
+        for row in batch.to_pylist():
+            state = load_partition_state(tdir, row["rels"], int_sch)
+            if state.num_rows == 0:
+                continue
+            parts = partition_ids(state.column("doc_id"), new_num_partitions)
+            import numpy as np_
+
+            order = np_.argsort(parts, kind="stable")
+            srt = state.take(pa.array(order))
+            sp = parts[order]
+            bounds = np_.flatnonzero(np_.diff(sp)) + 1
+            starts = np_.concatenate([[0], bounds])
+            ends = np_.concatenate([bounds, [len(sp)]])
+            uid = _uuid.uuid4().hex
+            for s, e in zip(starts, ends):
+                p = int(sp[s])
+                chunk = srt.slice(int(s), int(e - s))
+                pdir = Path(staging) / f"part={p:04d}"
+                pdir.mkdir(parents=True, exist_ok=True)
+                with pa.OSFile(str(pdir / f"stage-{uid}-{s}.arrow"), "wb") as f:
+                    with pa.ipc.new_file(f, chunk.schema) as w:
+                        w.write_table(chunk)
+                out.append({"part": p, "rows": chunk.num_rows})
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [pa.field("part", pa.int32()), pa.field("rows", pa.int64())]
+        ))
+
+    items = [
+        {"part": int(p), "rels": [v["file"]] + list(v.get("deltas", []))}
+        for p, v in commit["partitions"].items()
+    ]
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    stats = ds.map_batches(restage, batch_format="pyarrow", batch_size=1).take_all()
+    touched = sorted({r["part"] for r in stats})
+
+    merge_fn = make_partition_merger(
+        tdir, str(staging), epoch, {}, sch_json,
+        compression=cfg.compression, row_group_size=cfg.row_group_size,
+    )
+    items2 = ray.data.from_items(
+        [{"part": int(p)} for p in touched],
+        override_num_blocks=max(1, len(touched)),
+    )
+    staged = items2.map_batches(merge_fn, batch_format="pyarrow",
+                                batch_size=1).take_all()
+
+    partitions = {
+        str(r["part"]): {
+            "file": r["file"], "rows": r["rows"], "live_rows": r["live_rows"],
+            "bytes": r["bytes"], "lsn_high": r["lsn_high"],
+            "events_applied": 0,
+            "doc_id_min": r["doc_id_min"], "doc_id_max": r["doc_id_max"],
+        }
+        for r in staged
+    }
+    log.append({
+        "epoch": epoch,
+        "table": table,
+        "num_partitions": new_num_partitions,
+        "schema": commit["schema"],
+        "partitions": partitions,
+        "segments": commit.get("segments", []),
+        "parent": commit["epoch"],
+        **({"compaction_watermark": commit["compaction_watermark"]}
+           if commit.get("compaction_watermark") is not None else {}),
+        "metrics": {"repartitioned_from": commit["num_partitions"],
+                    "seconds": round(time.perf_counter() - t0, 3)},
+    })
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {"epoch": epoch, "num_partitions": new_num_partitions,
+            "partitions_written": len(staged)}
+
+
 def compact(lake_dir: str | Path, table: str = "sequences",
             watermark_lsn: int | None = None,
             cfg: EngineConfig | None = None) -> dict:

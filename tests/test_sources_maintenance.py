@@ -198,3 +198,25 @@ def test_late_drop_count_reported(ray_session, tmp_path):
     (log_dir / "manifest.json").write_text(json.dumps(manifest))
     report = ingest(lake, log_dir, cfg=cfg)
     assert report["events_dropped_late"] == 1
+
+
+def test_repartition_lake_preserves_state_and_routing(ray_session, tmp_path):
+    """4 -> 8 partitions: state identical, placement invariant holds under
+    the new modulus, and subsequent ingests keep working."""
+    from rfb_cnpj_etl_ray.pipelines.maintenance import repartition_lake
+
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    before = read_lake_table(lake)
+    r = repartition_lake(lake, 8)
+    assert r["num_partitions"] == 8
+    assert_states_equal(before, read_lake_table(lake))
+    assert validate_lake(lake)["ok"]  # placement under new modulus
+    # further ingest routes with the new modulus
+    extra = make_changelog(200, 200, seed=99, start_lsn=5_000_000, max_len=32)
+    write_changelog_segments(extra, tmp_path / "log2", 1)
+    ingest(lake, tmp_path / "log2", cfg=EngineConfig(num_partitions=8))
+    assert validate_lake(lake)["ok"]
+    import pyarrow as pa_
+
+    all_events = pa.concat_tables([events, extra])
+    assert_states_equal(replay(base, all_events), read_lake_table(lake))

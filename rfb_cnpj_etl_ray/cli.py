@@ -64,6 +64,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default="sequences")
     sp.add_argument("--watermark-lsn", type=int, default=None)
 
+    sp = sub.add_parser("repartition", help="change the hash-partition count")
+    sp.add_argument("lake")
+    sp.add_argument("new_num_partitions", type=int)
+    sp.add_argument("--table", default="sequences")
+
+    sp = sub.add_parser("tail", help="poll the log and ingest continuously")
+    sp.add_argument("lake")
+    sp.add_argument("log_dir")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--poll-interval", type=float, default=2.0)
+    sp.add_argument("--idle-rounds", type=int, default=5)
+
     sp = sub.add_parser("synth", help="generate deterministic base+log data")
     sp.add_argument("out_dir")
     sp.add_argument("--docs", type=int, default=10_000)
@@ -127,6 +139,18 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(compact(args.lake, args.table,
                                      watermark_lsn=args.watermark_lsn)))
+        elif args.cmd == "repartition":
+            from rfb_cnpj_etl_ray.pipelines.maintenance import repartition_lake
+
+            print(json.dumps(repartition_lake(
+                args.lake, args.new_num_partitions, args.table)))
+        elif args.cmd == "tail":
+            from rfb_cnpj_etl_ray.pipelines.ingest import tail
+
+            print(json.dumps(tail(
+                args.lake, args.log_dir, table=args.table,
+                poll_interval=args.poll_interval,
+                idle_rounds_to_stop=args.idle_rounds)))
     finally:
         if owns_session:  # don't tear down a caller-owned session
             ray.shutdown()

@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_activity": R.hourly_user_activity,
         "lagged_events": R.lagged_events,
         "running_user_totals": R.running_user_totals,
+        "asof_join_last_purchase": R.asof_join_last_purchase,
         # training-data operators (north-rule additions)
         "token_stats": T.token_stats,
         "quality_scores": T.quality_scores,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_user_activity": R.HOURLY_USER_ACTIVITY_SQL,
         "lagged_events": R.LAGGED_EVENTS_SQL,
         "running_user_totals": R.RUNNING_USER_TOTALS_SQL,
+        "asof_join_last_purchase": R.ASOF_JOIN_LAST_PURCHASE_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,

@@ -497,3 +497,45 @@ SELECT event_id, user_id,
                               ROWS UNBOUNDED PRECEDING), 2) AS running_value
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join — an operator Ray Data lacks natively (SURVEY §2 "custom
+# operators": composition of groupby + in-group merge_asof; partitioning
+# assumption: both sides hash-partition on the join key, so each group
+# holds one key's full history)
+# ---------------------------------------------------------------------------
+
+def asof_join_last_purchase(sf_dir: str):
+    """For every click event, the value of the same user's most recent
+    STRICTLY-EARLIER purchase event (null if none) — the classic
+    event-stream as-of join, via groupby(user).map_groups with
+    ``pd.merge_asof`` over the per-user time-sorted frames."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "click"].sort_values("ts")
+        right = g[g["event_type"] == "purchase"].sort_values("ts")
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "prev_purchase_value": pd.Series([], dtype="float64")}
+            )
+        joined = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["ts", "value"]].rename(columns={"value": "prev_purchase_value"}),
+            on="ts", allow_exact_matches=False, direction="backward",
+        )
+        return joined[["event_id", "user_id", "prev_purchase_value"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ASOF_JOIN_LAST_PURCHASE_SQL = """
+SELECT l.event_id, l.user_id, r.value AS prev_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts < l.ts
+"""

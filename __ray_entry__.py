@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": T.fingerprints,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
+        "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
         "minhash_lsh_candidates": D.minhash_lsh_candidates,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_near_dup": D.embedding_near_dup,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": T.QUALITY_SCORES_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
+        "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         # omitted on purpose (approximate / hash-based / stub-defined →
         # rows-only): cdc_ingest_final_state, language_id, fingerprints,

@@ -284,3 +284,64 @@ def embedding_near_dup(sf_dir: str, threshold: float = COSINE_THRESHOLD):
         )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (3-shingle) Jaccard pairs — the word-sequence-sensitive variant
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+SHINGLE_THRESHOLD = 0.05
+
+
+def jaccard_shingle_pairs(sf_dir: str):
+    """Blocked exact near-dup on word 3-gram (shingle) sets — unlike the
+    unigram variant, sensitive to word ORDER, so only genuinely repeated
+    passages score. Same blocked-pairwise shape as jaccard_block_pairs;
+    MinHash-LSH over the same shingles is the unblocked scale path."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g["doc_id"].to_numpy()
+        words = g["text"].str.lower().str.findall(WS_RE)
+        sets = [
+            set(" ".join(ws[i:i + SHINGLE_N])
+                for i in range(max(len(ws) - SHINGLE_N + 1, 0)))
+            for ws in words
+        ]
+        order = np.argsort(docs)
+        rows = []
+        for ii in range(len(order)):
+            a = order[ii]
+            for jj in range(ii + 1, len(order)):
+                b = order[jj]
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                union = max(len(sets[a]) + len(sets[b]) - inter, 1)
+                j = inter / union
+                if j >= SHINGLE_THRESHOLD:
+                    rows.append((int(docs[a]), int(docs[b]), round(j, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    return ds.groupby(["lang", "source"]).map_groups(pairs, batch_format="pandas")
+
+
+JACCARD_SHINGLE_PAIRS_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, source, regexp_extract_all(lower(text), '\\S+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM w
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+             / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 4) AS jaccard
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.05
+"""

@@ -108,7 +108,7 @@ def validate_lake(lake_dir: str | Path, table: str = "sequences",
                 null_both = int(pc.sum(pc.and_(
                     pc.is_null(live.column("tokens")),
                     pc.is_null(live.column("n_tok")))).as_py() or 0)
-                if bad - 0 > 0 and bad > null_both:
+                if bad > null_both:  # both-null rows are consistent
                     errs.append(f"n_tok_mismatch:{bad - null_both}")
             out.append({"part": part, "violations": errs, "rows": t.num_rows})
         return pa.Table.from_pylist(out, schema=pa.schema(

@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.quality_scores,
         "language_id": T.language_id,
         "fingerprints": T.fingerprints,
+        "train_val_split": T.train_val_split,
+        "length_histogram": T.length_histogram,
+        "pack_sequences": T.pack_sequences,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
@@ -143,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_last_purchase": R.ASOF_JOIN_LAST_PURCHASE_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
+        "train_val_split": T.TRAIN_VAL_SPLIT_SQL,
+        "length_histogram": T.LENGTH_HISTOGRAM_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,

@@ -112,7 +112,7 @@ def run_headline() -> dict:
     shutil.rmtree(warm_lake, ignore_errors=True)
 
     # best-of-N timed replays (fresh lake each) — damps scheduler/IO noise
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     best_sec, report, phases = None, None, {}
     for _ in range(repeats):
         shutil.rmtree(lake, ignore_errors=True)

@@ -221,3 +221,97 @@ def fingerprints(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset splitting + length statistics + sequence packing
+# ---------------------------------------------------------------------------
+
+def train_val_split(sf_dir: str):
+    """Deterministic hash-free split assignment (doc_id mod 10: 8/1/1
+    train/val/test) — the reproducible dataset-split every training
+    pipeline needs; pure vectorized arithmetic, stable across runs and
+    cluster sizes."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def assign(batch: pa_.Table) -> pa_.Table:
+        mod = pc_.subtract(
+            batch.column("doc_id"),
+            pc_.multiply(pc_.divide(batch.column("doc_id"), 10), 10),
+        )
+        split = pc_.if_else(
+            pc_.less(mod, 8), pa_.scalar("train"),
+            pc_.if_else(pc_.equal(mod, 8), pa_.scalar("val"),
+                        pa_.scalar("test")),
+        )
+        return pa_.table({"doc_id": batch.column("doc_id"), "split": split})
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def length_histogram(sf_dir: str):
+    """Document-length histogram (100-char buckets): per-batch partial
+    counts then a tiny groupby — the schema-profiling aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["n_chars"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = (batch["n_chars"] // 100).astype("int64")
+        out = b.value_counts().rename_axis("bucket").reset_index(name="n_docs")
+        return out
+
+    partials = ds.map_batches(bucketize, batch_format="pandas")
+    return partials.groupby("bucket").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+PACK_BUDGET = 2048
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
+    """Greedy sequence packing: walk documents in doc_id order and close
+    a pack when adding the next doc would exceed ``budget`` characters —
+    the pretraining-batch packing operator. Packing is inherently
+    sequential, so it runs per block over doc_id-ordered input and pack
+    ids are made globally unique by offsetting with the block's first
+    doc_id (partitioning assumption: pack boundaries never span blocks).
+    Not SQL-expressible without recursion → rows-only oracle."""
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values("doc_id").reset_index(drop=True)
+        lens = b["n_chars"].to_numpy()
+        pack_local = np.zeros(len(b), dtype=np.int64)
+        acc, pid = 0, 0
+        for i, ln in enumerate(lens):  # sequential by definition
+            if acc + ln > budget and acc > 0:
+                pid += 1
+                acc = 0
+            acc += ln
+            pack_local[i] = pid
+        base = int(b["doc_id"].iloc[0]) if len(b) else 0
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"],
+             "pack_id": pack_local + base * 1_000_000,
+             "n_chars": b["n_chars"]}
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.map_batches(pack, batch_format="pandas")

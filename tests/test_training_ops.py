@@ -125,3 +125,19 @@ def test_real_decoder_stub_raises(ray_session):
     dec = M.RealDecoder()
     with pytest.raises(NotImplementedError, match="not in this"):
         dec(M.MEDIA_SCHEMA.empty_table())
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Greedy packing: every doc assigned exactly once; every pack within
+    budget unless it holds a single over-budget doc; deterministic."""
+    from rfb_cnpj_etl_ray.functions.text import PACK_BUDGET, pack_sequences
+
+    out = to_pandas(pack_sequences(SF_DIR))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    sizes = out.groupby("pack_id").agg(total=("n_chars", "sum"),
+                                       n=("n_chars", "size"))
+    over = sizes[sizes["total"] > PACK_BUDGET]
+    assert (over["n"] == 1).all()  # only single oversized docs exceed
+    again = to_pandas(pack_sequences(SF_DIR))
+    pd.testing.assert_frame_equal(normalize(out), normalize(again))

@@ -130,3 +130,24 @@ def test_assert_states_equal_detects_mismatch():
 
     with pytest.raises(AssertionError):
         assert_states_equal(a, b)
+
+
+def test_commit_log_append_race_semantics(tmp_path):
+    """Two writers racing the same epoch: identical content re-commits are
+    no-ops (idempotent driver retry); divergent content raises without
+    touching the log (safe failure mode for a concurrent-ingest race)."""
+    from rfb_cnpj_etl_ray.state.commitlog import CommitLog
+
+    log = CommitLog(tmp_path / "t")
+    rec = {"epoch": 0, "table": "t", "num_partitions": 1,
+           "schema": [["doc_id", "string"]], "partitions": {},
+           "segments": [], "parent": None, "metrics": {}}
+    p1 = log.append(rec)
+    p2 = log.append(dict(rec))  # identical retry → no-op
+    assert p1 == p2
+    divergent = {**rec, "metrics": {"other": 1}}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="different content"):
+        log.append(divergent)
+    assert log.latest()["metrics"] == {}  # history untouched

@@ -97,7 +97,11 @@ def run_headline() -> dict:
         p.read_bytes()
     (data / "base.parquet").read_bytes()
 
-    cfg = EngineConfig(num_partitions=NUM_PARTITIONS)
+    # bench payload rows are ~170 B → large batches are safe and fastest
+    cfg = EngineConfig(
+        num_partitions=NUM_PARTITIONS,
+        batch_size=int(os.environ.get("GRAFT_BENCH_BATCH_SIZE", "131072")),
+    )
 
     # warm the worker pool with a small throwaway replay (untimed)
     warm_data = synth_dataset(tmp / "warmup", n_docs=20_000,

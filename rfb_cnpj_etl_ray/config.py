@@ -21,9 +21,12 @@ class EngineConfig:
     #: hides stragglers; partition count is fixed at table-init time.
     num_partitions: int = 32
 
-    #: rows per Arrow batch handed to map_batches stages. Token payloads are
-    #: wide (list<int32>, ~0.5 KB/row) so 32k rows ≈ 16 MB per batch.
-    batch_size: int = 32_768
+    #: rows per Arrow batch handed to map_batches stages. Bigger batches
+    #: amortize the per-batch sort and produce fewer staged chunks
+    #: (measured: 2× throughput from 16k→128k at ~170 B/row); size so
+    #: batch_bytes × concurrent tasks fits worker heap — at ~1 KB/row
+    #: payloads (max-length token lists) 64k rows ≈ 64 MB per batch.
+    batch_size: int = 65_536
 
     # --- shuffle strategy -------------------------------------------------
     #: "staged" (default): two-phase exchange through the staging dir —

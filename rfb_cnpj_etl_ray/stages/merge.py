@@ -228,11 +228,11 @@ def make_stage_partitioner(
                     schema=_stage_stats_schema(),
                 )
             return _stage_stats_schema().empty_table()
-        srt = routed.sort_by(
-            [(PART_COL, "ascending"), ("doc_id", "ascending"),
-             (INTERNAL_LSN, "ascending")]
-        )
         if partial_reduce and prep == "events":
+            srt = routed.sort_by(
+                [(PART_COL, "ascending"), ("doc_id", "ascending"),
+                 (INTERNAL_LSN, "ascending")]
+            )
             keys = srt.column("doc_id").combine_chunks()
             n = len(keys)
             boundary = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
@@ -240,6 +240,10 @@ def make_stage_partitioner(
                 [boundary.cast(pa.bool_()), pa.array([True], type=pa.bool_())]
             )
             srt = srt.filter(mask)
+        else:
+            # no reduce → only partition-contiguity is needed: a single
+            # int32-key sort, far cheaper than the 3-key string sort
+            srt = routed.sort_by([(PART_COL, "ascending")])
         parts = srt.column(PART_COL).to_numpy()
         bounds = np.flatnonzero(np.diff(parts)) + 1
         starts = np.concatenate([[0], bounds])

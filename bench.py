@@ -298,10 +298,84 @@ def steady_state() -> None:
     ray.shutdown()
 
 
+def _multinode_child() -> None:
+    """Child process: build an n-node local Ray cluster (one raylet +
+    object store per node — real inter-node object transfers over
+    loopback) and run the headline replay on it."""
+    n_nodes = int(os.environ["GRAFT_NODES"])
+    cpus_per_node = int(os.environ.get("GRAFT_CPUS_PER_NODE", "4"))
+    from ray.cluster_utils import Cluster
+
+    import ray
+
+    cluster = Cluster()
+    cluster.add_node(num_cpus=cpus_per_node, include_dashboard=False)
+    for _ in range(n_nodes - 1):
+        cluster.add_node(num_cpus=cpus_per_node)
+    ray.init(address=cluster.address, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    alive = len([n for n in ray.nodes() if n["Alive"]])
+    head = run_headline()
+    print(json.dumps({
+        "metric": "cdc_ingest_sec",
+        "value": round(head["sec"], 3),
+        "nodes": alive,
+        "cpus_per_node": cpus_per_node,
+        "events": head["events"],
+        "events_per_sec": round(head["events_per_sec"], 1),
+    }))
+    ray.shutdown()
+    cluster.shutdown()
+
+
+def nodes_scaling() -> None:
+    """The north rule verbatim: the SAME job on an N-node and a 4N-node
+    Ray cluster (simulated locally with ray.cluster_utils.Cluster — one
+    raylet + plasma store per node, so scheduling and object movement
+    are genuinely multi-node; the 'shared storage' is the local FS).
+    Node counts via GRAFT_NODE_LEVELS (default "1,4" × 4 CPUs/node)."""
+    levels = [int(x) for x in
+              os.environ.get("GRAFT_NODE_LEVELS", "1,4").split(",")]
+
+    def run(n_nodes: int) -> dict:
+        env = dict(os.environ, GRAFT_NODES=str(n_nodes),
+                   GRAFT_BENCH_QUERIES="0")
+        env.setdefault("GRAFT_BENCH_EVENTS", "16000000")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--nodes-child"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = levels[0], levels[-1]
+    r_lo = run(lo)
+    time.sleep(5)
+    r_hi = run(hi)
+    eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "node_scaling_efficiency",
+        f"sec_{lo}_nodes": r_lo["value"],
+        f"sec_{hi}_nodes": r_hi["value"],
+        f"events_per_sec_{lo}_nodes": r_lo["events_per_sec"],
+        f"events_per_sec_{hi}_nodes": r_hi["events_per_sec"],
+        "cpus_per_node": r_lo["cpus_per_node"],
+        "node_ratio": hi / lo,
+        "scaling_efficiency": round(eff, 3),
+        "events": r_lo["events"],
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--steady" in sys.argv:
         steady_state()
+    elif "--nodes" in sys.argv:
+        nodes_scaling()
+    elif "--nodes-child" in sys.argv:
+        _multinode_child()
     else:
         main()

@@ -19,12 +19,33 @@ TOP_K = 10
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:
-    """Deterministic query: the embedding of vec_id 0 (exists at every sf)."""
+    """Deterministic query: the embedding of the minimum vec_id (0 at
+    every sf). Point read, not a scan: row-group statistics locate the
+    global min, then ONLY that row group's (vec_id, embedding) columns
+    are read — O(row group), never O(corpus), same zone-map pruning the
+    lake's ``lookup()`` uses."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    idx = t.column("vec_id").to_numpy().argmin()
-    v = np.asarray(t.column("embedding").to_pylist()[idx], dtype=np.float64)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    md = pf.metadata
+    vid_idx = next(
+        i for i in range(md.row_group(0).num_columns)
+        if md.row_group(0).column(i).path_in_schema == "vec_id"
+    )
+    stats = [md.row_group(g).column(vid_idx).statistics
+             for g in range(md.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        target = min(s.min for s in stats)
+        groups = [g for g, s in enumerate(stats) if s.min <= target <= s.max]
+    else:  # stats-less writer: still only the key column scans, not vectors
+        ids = pf.read(columns=["vec_id"]).column("vec_id").to_numpy()
+        target = int(ids.min())
+        groups = list(range(md.num_row_groups))
+    t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc_
+
+    row = t.filter(pc_.equal(t.column("vec_id"), target))
+    v = np.asarray(row.column("embedding")[0].as_py(), dtype=np.float64)
     return v / np.linalg.norm(v)
 
 
@@ -81,12 +102,36 @@ def _fit_centroids(
     sample_size: int = 2048,
     seed: int = 7,
 ) -> np.ndarray:
-    """Deterministic spherical k-means on a driver-side sample — at 100 TB
-    the sample comes from ``ds.random_sample`` instead of a head read."""
-    import pyarrow.parquet as pq
+    """Deterministic spherical k-means on a DISTRIBUTED hash-sample: each
+    batch keeps only rows whose Knuth-hashed vec_id falls under a
+    threshold sized from the parquet metadata row count, so the driver
+    collects ~2×sample_size rows no matter how big the corpus is (and,
+    unlike ``random_sample``, the selection is independent of block
+    layout — two calls always agree)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    total = max(1, ds.count())  # metadata-only for parquet
+    frac = min(1.0, (2.0 * sample_size) / total)
+    threshold = np.uint64(int(frac * float(1 << 32)))
 
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    m = np.stack(sample.column("embedding").to_numpy(zero_copy_only=False))[:sample_size]
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.filter(pa.array(h < threshold))
+
+    sample = pa.Table.from_pylist(
+        ds.map_batches(pick, batch_format="pyarrow",
+                       zero_copy_batch=True).take_all()
+    )
+    # order by the same hash → the retained subset is a deterministic
+    # function of vec_ids alone (block arrival order cancels out)
+    ids = sample.column("vec_id").to_numpy().astype(np.uint64)
+    order = np.argsort((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF),
+                       kind="stable")[:sample_size]
+    m = np.stack(
+        sample.column("embedding").to_numpy(zero_copy_only=False)[order]
+    )
     m = m.astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

@@ -141,7 +141,8 @@ def ingest(
         table_dir=str(table_dir),
         epoch=epoch,
         current_files={
-            int(k): [v["file"]] + list(v.get("deltas", []))
+            int(k): [f for f in [v.get("file")] + list(v.get("deltas", []))
+                     if f is not None]
             for k, v in last["partitions"].items()
         },
         payload_schema_json=schema_to_jsonable(payload_schema),
@@ -200,6 +201,9 @@ def ingest(
                 payload_schema=payload_schema,
                 num_partitions=num_partitions,
                 salt_factor=cfg.salt_factor,
+                # same GC invariant as the staged branch: post-compaction
+                # late events must not resurrect GC'd tombstones.
+                min_lsn_exclusive=last.get("compaction_watermark"),
             ),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
@@ -234,9 +238,20 @@ def ingest(
                     if m is not None]
             maxs = [m for m in (prev.get("doc_id_max"), row["doc_id_max"])
                     if m is not None]
+            # first write into a hole (partition with no committed file —
+            # possible after init_lake_distributed on an untouched
+            # partition): the delta IS the partition's complete LWW state,
+            # so promote it to the base snapshot instead of recording a
+            # null base that readers would crash on.
+            base_file = prev.get("file")
+            new_deltas = list(prev.get("deltas", []))
+            if base_file is None and not new_deltas:
+                base_file = row["file"]
+            else:
+                new_deltas.append(row["file"])
             partitions[str(row["part"])] = {
-                "file": prev.get("file"),
-                "deltas": list(prev.get("deltas", [])) + [row["file"]],
+                "file": base_file,
+                "deltas": new_deltas,
                 "rows": int(prev.get("rows", 0)) + row["rows"],
                 "live_rows": None,
                 "bytes": int(prev.get("bytes", 0)) + row["bytes"],

@@ -61,7 +61,7 @@ def validate_lake(lake_dir: str | Path, table: str = "sequences",
     int_sch = internal_schema(schema_from_jsonable(commit["schema"]))
     num_partitions = commit["num_partitions"]
     items = [
-        {"part": int(p), "rels": [v["file"]] + list(v.get("deltas", [])),
+        {"part": int(p), "rels": [f for f in [v.get("file")] + list(v.get("deltas", [])) if f is not None],
          "rows": int(v["rows"])}
         for p, v in commit["partitions"].items()
     ]
@@ -209,7 +209,7 @@ def repartition_lake(
         ))
 
     items = [
-        {"part": int(p), "rels": [v["file"]] + list(v.get("deltas", []))}
+        {"part": int(p), "rels": [f for f in [v.get("file")] + list(v.get("deltas", [])) if f is not None]}
         for p, v in commit["partitions"].items()
     ]
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
@@ -274,7 +274,7 @@ def compact(lake_dir: str | Path, table: str = "sequences",
                  if v.get("lsn_high") is not None]
         watermark_lsn = max(highs) if highs else 0
     epoch = commit["epoch"] + 1
-    items = [{"part": int(p), "rels": [v["file"]] + list(v.get("deltas", []))}
+    items = [{"part": int(p), "rels": [f for f in [v.get("file")] + list(v.get("deltas", [])) if f is not None]}
              for p, v in commit["partitions"].items()]
 
     def rewrite(batch: pa.Table) -> pa.Table:

@@ -292,33 +292,38 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def revenue_by_nation(sf_dir: str):
-    """customer⋈nation broadcast; orders⋈lineitem via hash-partitioned
-    Dataset.join (the large-large side); revenue pre-reduced per batch.
-
-    Broadcast side = customer→nation-name map (dimension-sized); the
-    orders⋈lineitem join is the genuinely large pair so it shuffles.
+    """Only the genuinely dimension-sized side (nation, 25 rows) is
+    broadcast; customer and orders are both fact-sized, so
+    orders⋈customer AND lineitem⋈orders run as hash-partitioned
+    ``Dataset.join``s — nothing fact-sized ever lands on the driver.
+    Revenue is pre-reduced per batch to per-order partials before its
+    shuffle. Rows whose customer lacks a nation drop (inner-join
+    semantics, matching the SQL oracle).
     Reference flagship query: docs/exemplos/query_sqlite.md:11-79."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation = customer.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]]
-    ref = ray.put(dict(zip(cust_nation["c_custkey"], cust_nation["n_name"])))
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(dict(zip(nation_tbl["n_nationkey"],
+                                  nation_tbl["n_name"])))
 
     class AttachNation:
         def __init__(self, ref):
-            self.map = ray.get(ref)
+            self.map = ray.get(ref)  # 25 entries, once per actor
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["o_custkey"].map(self.map)
-            return batch[["o_orderkey", "n_name"]]
+            batch["n_name"] = batch["c_nationkey"].map(self.map)
+            # inner-join semantics: a customer without a nation row
+            # contributes nothing (the oracle's JOIN drops it too)
+            return batch.dropna(subset=["n_name"])[["c_custkey", "n_name"]]
 
-    orders_n = orders.map_batches(
-        AttachNation, fn_constructor_kwargs={"ref": ref},
+    customer_n = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        AttachNation, fn_constructor_kwargs={"ref": nation_ref},
         batch_format="pandas", concurrency=(1, 4),
     )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_n = orders.join(
+        customer_n, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "n_name"])
+
     lineitem = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )

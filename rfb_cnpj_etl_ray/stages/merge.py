@@ -108,10 +108,15 @@ class ToInternal:
     """
 
     def __init__(self, payload_schema: pa.Schema, num_partitions: int,
-                 salt_factor: int = 1):
+                 salt_factor: int = 1, min_lsn_exclusive: int | None = None):
         self.payload_schema = payload_schema
         self.num_partitions = num_partitions
         self.salt_factor = salt_factor
+        # GC safety (same rule as the staged path): events at or below the
+        # compaction watermark must never re-apply — the tombstones they
+        # would have LWW-lost to were already garbage-collected, so
+        # replaying them could resurrect deleted keys.
+        self.min_lsn_exclusive = min_lsn_exclusive
         self._out_schema = internal_schema(payload_schema)
 
     def convert_only(self, batch: pa.Table) -> pa.Table:
@@ -119,6 +124,10 @@ class ToInternal:
         return self(batch, reduce=False)
 
     def __call__(self, batch: pa.Table, reduce: bool = True) -> pa.Table:
+        if self.min_lsn_exclusive is not None and batch.num_rows:
+            batch = batch.filter(
+                pc.greater(batch.column("lsn"), self.min_lsn_exclusive)
+            )
         if batch.num_rows == 0:
             return self._empty()
         lsn = batch.column("lsn")

@@ -67,9 +67,16 @@ def normalize_numeric_br(table: pa.Table, columns: list[str]) -> pa.Table:
     for name in columns:
         idx = table.schema.get_field_index(name)
         col = table.column(idx)
+        # ≥1 digit required: the reference guard
+        # val.replace(',','').replace('.','').isdigit() is False for
+        # digit-free strings like "," — those must pass through untouched.
+        # (RE2 has no lookahead, so digit presence is a separate conjunct.)
         eligible = pc.and_(
-            pc.match_substring(col, ","),
-            pc.match_substring_regex(col, r"^[0-9.,]+$"),
+            pc.and_(
+                pc.match_substring(col, ","),
+                pc.match_substring_regex(col, r"^[0-9.,]+$"),
+            ),
+            pc.match_substring_regex(col, r"[0-9]"),
         )
         converted = pc.replace_substring(
             pc.replace_substring(col, ".", ""), ",", "."

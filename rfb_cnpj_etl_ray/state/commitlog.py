@@ -102,23 +102,34 @@ class CommitLog:
         }
 
     def current_files(self) -> dict[int, Path]:
-        """partition -> current committed base snapshot file."""
-        c = self.latest()
-        if c is None:
-            return {}
-        return {int(k): self.table_dir / v["file"] for k, v in c["partitions"].items()}
-
-    def partition_file_lists(self) -> dict[int, list[str]]:
-        """partition -> [base snapshot, *delta files] (relative paths).
-        The logical partition state is the LWW fold over this list
-        (merge-on-read; a cow table has single-element lists)."""
+        """partition -> current committed base snapshot file. Entries
+        without a materialized file (holes from init_lake_distributed on
+        untouched partitions) are skipped — they hold no rows."""
         c = self.latest()
         if c is None:
             return {}
         return {
-            int(k): [v["file"]] + list(v.get("deltas", []))
+            int(k): self.table_dir / v["file"]
             for k, v in c["partitions"].items()
+            if v.get("file") is not None
         }
+
+    def partition_file_lists(self) -> dict[int, list[str]]:
+        """partition -> [base snapshot, *delta files] (relative paths).
+        The logical partition state is the LWW fold over this list
+        (merge-on-read; a cow table has single-element lists). None
+        entries (file-less holes) are filtered; an empty list means the
+        partition holds no rows and is omitted."""
+        c = self.latest()
+        if c is None:
+            return {}
+        out = {}
+        for k, v in c["partitions"].items():
+            rels = [f for f in [v.get("file")] + list(v.get("deltas", []))
+                    if f is not None]
+            if rels:
+                out[int(k)] = rels
+        return out
 
     def has_deltas(self) -> bool:
         c = self.latest()
@@ -135,15 +146,26 @@ class CommitLog:
 
         Re-appending the same epoch with identical content is a no-op
         (idempotent re-commit on driver retry); differing content for an
-        existing epoch is a hard error — the log never rewrites history."""
+        existing epoch is a hard error — the log never rewrites history.
+        Race-free: the commit file is created with ``os.link`` (fails with
+        EEXIST if another writer won), so two concurrent drivers can never
+        silently overwrite each other — the loser either no-ops (identical
+        bytes) or raises."""
         self.log_dir.mkdir(parents=True, exist_ok=True)
         path = self.log_dir / f"commit-{record['epoch']:06d}.json"
         data = json.dumps(record, indent=1, sort_keys=True).encode()
-        if path.exists():
+        tmp = path.with_name(path.name + f".tmp-{uuid.uuid4().hex[:8]}")
+        tmp.write_bytes(data)
+        try:
+            os.link(tmp, path)  # atomic create-exclusive (no overwrite)
+        except FileExistsError:
             if path.read_bytes() == data:
                 return path
-            raise RuntimeError(f"commit {record['epoch']} already exists with different content")
-        atomic_write_bytes(path, data)
+            raise RuntimeError(
+                f"commit {record['epoch']} already exists with different content"
+            )
+        finally:
+            os.unlink(tmp)
         return path
 
 

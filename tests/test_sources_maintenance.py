@@ -220,3 +220,91 @@ def test_repartition_lake_preserves_state_and_routing(ray_session, tmp_path):
 
     all_events = pa.concat_tables([events, extra])
     assert_states_equal(replay(base, all_events), read_lake_table(lake))
+
+
+def test_post_compaction_groupby_ingest_drops_late_events(ray_session, tmp_path):
+    """Same GC invariant, but on the shuffle='groupby' code path (the
+    watermark filter lives in ToInternal there, not the staged
+    partitioner) — a late event below the watermark must not resurrect a
+    GC'd delete."""
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    state = read_lake_table(lake)
+    r = compact(lake)
+    wm = r["watermark_lsn"]
+    deleted_docs = sorted(
+        set(events.filter(pc.equal(events["op"], "D"))["doc_id"].to_pylist())
+        - set(state["doc_id"].to_pylist())
+    )
+    late = pa.Table.from_pylist(
+        [
+            {"lsn": wm - 1, "op": "U", "doc_id": deleted_docs[0],
+             "tokens": [1, 2], "n_tok": 2, "source": "web"},
+            {"lsn": wm + 1000, "op": "I", "doc_id": "docFRESH01",
+             "tokens": [7], "n_tok": 1, "source": "web"},
+        ],
+        schema=events.schema,
+    )
+    import pyarrow.parquet as pq
+
+    seg = log_dir / "seg-92000.parquet"
+    pq.write_table(late, seg)
+    manifest = json.loads((log_dir / "manifest.json").read_text())
+    manifest["segments"].append({
+        "name": seg.name, "rows": 2, "min_lsn": wm - 1,
+        "max_lsn": wm + 1000, "bytes": seg.stat().st_size,
+    })
+    (log_dir / "manifest.json").write_text(json.dumps(manifest))
+    gb_cfg = EngineConfig(num_partitions=cfg.num_partitions, shuffle="groupby")
+    ingest(lake, log_dir, cfg=gb_cfg)
+    after = read_lake_table(lake)
+    ids = set(after["doc_id"].to_pylist())
+    assert "docFRESH01" in ids          # above watermark: applied
+    assert deleted_docs[0] not in ids   # below watermark: dropped (GC safety)
+
+
+def test_delta_ingest_into_partition_hole(ray_session, tmp_path):
+    """init_lake_distributed only writes entries for partitions the base
+    touches; a later delta-mode ingest into an untouched partition must
+    promote its first delta to the base snapshot (never a null 'file'),
+    and every reader must work afterwards."""
+    import pyarrow.parquet as pq
+
+    from rfb_cnpj_etl_ray.pipelines.ingest import (
+        init_lake_distributed,
+        lookup,
+        read_lake,
+    )
+
+    # single-doc base -> exactly one of 4 partitions gets an entry
+    base = make_base(1, seed=3, max_len=8)
+    base_path = tmp_path / "base.parquet"
+    pq.write_table(base, base_path)
+    lake = tmp_path / "lake"
+    cfg = EngineConfig(num_partitions=4, write_mode="delta")
+    init_lake_distributed(lake, SPEC, [str(base_path)], cfg=cfg)
+    holes = 4 - len(CommitLog(lake / "sequences").latest()["partitions"])
+    assert holes >= 1  # the scenario is real
+
+    events = make_changelog(200, 50, seed=5, max_len=8)
+    log_dir = tmp_path / "log"
+    write_changelog_segments(events, log_dir, 2)
+    ingest(lake, log_dir, cfg=cfg)
+
+    c = CommitLog(lake / "sequences").latest()
+    assert all(v.get("file") is not None for v in c["partitions"].values())
+    expected = replay(base, events)
+    assert_states_equal(expected, read_lake_table(lake))
+    assert read_lake(lake).count() == expected.num_rows
+    assert validate_lake(lake)["ok"]
+    some = expected["doc_id"].to_pylist()[:3]
+    assert lookup(lake, some).num_rows == len(some)
+
+
+def test_numeric_br_requires_digit():
+    """Digit-free strings like ',' or '.,' must pass through untouched
+    (reference guard: isdigit() on the stripped value)."""
+    from rfb_cnpj_etl_ray.stages.sanitize import normalize_numeric_br
+
+    t = pa.table({"v": [",", ".,", "1.234,56", "12,5", "a,b", None]})
+    out = normalize_numeric_br(t, ["v"])["v"].to_pylist()
+    assert out == [",", ".,", "1234.56", "12.5", "a,b", None]

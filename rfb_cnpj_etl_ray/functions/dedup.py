@@ -184,28 +184,67 @@ class MinHasher:
         return pd.DataFrame(out)
 
 
+def _seg_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(s, s+l)`` for each (s, l) — vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    return np.repeat(starts, lens) + offs
+
+
 def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-duplicate pairs via MinHash-LSH: signature →
-    (band, band_hash, doc_id) explode → bucket groupby → pairs from
-    multi-doc buckets, deduped. Probabilistic recall (by design); verify
-    candidates with exact Jaccard downstream. rows-only oracle."""
+    (band, band_hash, doc_id) explode → keyed hash exchange on the bucket
+    key → per-BLOCK vectorized pair construction (run boundaries + a
+    numpy segment-range expansion — no Python call per bucket) → second
+    keyed exchange + block-local drop_duplicates for the global pair
+    dedup. Probabilistic recall (by design); verify candidates with exact
+    Jaccard downstream. rows-only oracle."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pandas", concurrency=(1, 4)
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["band", "band_hash", "doc_id"])
+        df = df.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+        n = len(df)
+        band = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        # for row i in its bucket: pairs (i, j) for every later j in the
+        # bucket; m_i = bucket_end - i - 1 partners each
+        bucket_end = np.repeat(starts + lens, lens)
+        m = bucket_end - np.arange(n) - 1
+        ids = df["doc_id"].to_numpy()
+        a_idx = np.repeat(np.arange(n), m)
+        b_idx = _seg_ranges(np.arange(n, dtype=np.int64) + 1, m)
+        if not len(a_idx):
+            return empty
+        return pd.DataFrame(
+            {"doc_a": ids[a_idx], "doc_b": ids[b_idx]}
+        ).drop_duplicates()
 
-    pairs = ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = repartition_by_key(ds, ["band", "band_hash"]).map_batches(
+        block_pairs, batch_format="pandas", batch_size=None
     )
-    # dedup pairs found in multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # global dedup of pairs found by multiple bands: a (doc_a, doc_b)
+    # appears only within one block after the keyed exchange, so one
+    # vectorized drop_duplicates per block finishes it
+    return repartition_by_key(pairs, ["doc_a", "doc_b"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas",
+        batch_size=None,
     )
 
 

@@ -45,13 +45,19 @@ def lww_latest_events(sf_dir: str):
     merge core, with per-batch partial reduce before the shuffle."""
     from rfb_cnpj_etl_ray.stages.merge import lww_reduce
 
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         return lww_reduce(batch, key="user_id", lsn="event_id")
 
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("user_id").map_groups(partial, batch_format="pyarrow")
+    # final reduce: keyed hash exchange, then one vectorized LWW fold per
+    # BLOCK (each key is wholly contained) — no per-group dispatch
+    out = repartition_by_key(ds, ["user_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
     return out.rename_columns(
         {"event_id": "last_event_id", "event_type": "last_event_type",
          "value": "last_value"}
@@ -368,17 +374,28 @@ GROUP BY n_name
 def parts_per_order(sf_dir: str):
     """Per-order comma-joined sorted part keys — the correlated
     GROUP_CONCAT subquery of the flagship reference query
-    (query_sqlite.md:57-61) as groupby().map_groups."""
+    (query_sqlite.md:57-61). One keyed hash exchange, then the whole
+    block reduces in a single vectorized pandas groupby — no per-order
+    Python dispatch (at |orders| cardinality ``map_groups`` would pay
+    one interpreter call per group)."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def concat_group(g: pd.DataFrame) -> pd.DataFrame:
-        keys = ",".join(map(str, sorted(g["l_partkey"])))
-        return pd.DataFrame(
-            {"l_orderkey": [g["l_orderkey"].iloc[0]], "part_list": [keys],
-             "n_parts": [len(g)]}
-        )
+    def concat_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "part_list": pd.Series([], dtype="object"),
+                                 "n_parts": pd.Series([], dtype="int64")})
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        df["pk"] = df["l_partkey"].astype(str)  # one vectorized cast
+        g = df.groupby("l_orderkey", sort=False)
+        out = g["pk"].agg(part_list=",".join, n_parts="size").reset_index()
+        return out
 
-    return ds.groupby("l_orderkey").map_groups(concat_group, batch_format="pandas")
+    return repartition_by_key(ds, ["l_orderkey"]).map_batches(
+        concat_block, batch_format="pandas", batch_size=None
+    )
 
 
 PARTS_PER_ORDER_SQL = """
@@ -463,17 +480,22 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 
 def lagged_events(sf_dir: str):
     """Per-key LAG: each event paired with the previous event's value in
-    (event_id) order — groupby(key).map_groups with an in-group sort, the
-    portable Ray Data window pattern (no watermarks needed: the window
-    frame is defined by the grouping key + an explicit order column)."""
+    (event_id) order. Keyed hash exchange, then the LAG computes over the
+    whole block with vectorized ``groupby(...).shift()`` — one pandas
+    kernel per block, not one Python call per user (no watermarks needed:
+    the window frame is the grouping key + explicit order column)."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id")
-        g["prev_value"] = g["value"].shift(1)
-        return g
+    def lag_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="stable")
+        df["prev_value"] = df.groupby("user_id", sort=False)["value"].shift(1)
+        return df
 
-    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+    return repartition_by_key(ds, ["user_id"]).map_batches(
+        lag_block, batch_format="pandas", batch_size=None
+    )
 
 
 LAGGED_EVENTS_SQL = """
@@ -485,15 +507,22 @@ FROM events
 
 def running_user_totals(sf_dir: str):
     """Per-key running aggregate (cumulative sum ordered by event_id) —
-    the unbounded-preceding window frame as a sorted in-group cumsum."""
+    the unbounded-preceding window frame as a block-wide vectorized
+    ``groupby(...).cumsum()`` after a keyed hash exchange."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id")
-        g["running_value"] = g["value"].cumsum().round(2)
-        return g[["event_id", "user_id", "running_value"]]
+    def running_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="stable")
+        df["running_value"] = (
+            df.groupby("user_id", sort=False)["value"].cumsum().round(2)
+        )
+        return df[["event_id", "user_id", "running_value"]]
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return repartition_by_key(ds, ["user_id"]).map_batches(
+        running_block, batch_format="pandas", batch_size=None
+    )
 
 
 RUNNING_USER_TOTALS_SQL = """
@@ -514,14 +543,18 @@ FROM events
 def asof_join_last_purchase(sf_dir: str):
     """For every click event, the value of the same user's most recent
     STRICTLY-EARLIER purchase event (null if none) — the classic
-    event-stream as-of join, via groupby(user).map_groups with
-    ``pd.merge_asof`` over the per-user time-sorted frames."""
+    event-stream as-of join. Keyed hash exchange on user_id, then ONE
+    ``pd.merge_asof(..., by="user_id")`` over the whole block — pandas
+    does the per-key asof matching in a single C pass, no per-user
+    Python dispatch."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
                                   "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == "click"].sort_values("ts")
-        right = g[g["event_type"] == "purchase"].sort_values("ts")
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "click"].sort_values("ts", kind="stable")
+        right = df[df["event_type"] == "purchase"].sort_values("ts", kind="stable")
         if left.empty:
             return pd.DataFrame(
                 {"event_id": pd.Series([], dtype="int64"),
@@ -530,12 +563,16 @@ def asof_join_last_purchase(sf_dir: str):
             )
         joined = pd.merge_asof(
             left[["event_id", "user_id", "ts"]],
-            right[["ts", "value"]].rename(columns={"value": "prev_purchase_value"}),
-            on="ts", allow_exact_matches=False, direction="backward",
+            right[["user_id", "ts", "value"]].rename(
+                columns={"value": "prev_purchase_value"}),
+            on="ts", by="user_id",
+            allow_exact_matches=False, direction="backward",
         )
         return joined[["event_id", "user_id", "prev_purchase_value"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return repartition_by_key(ds, ["user_id"]).map_batches(
+        asof_block, batch_format="pandas", batch_size=None
+    )
 
 
 ASOF_JOIN_LAST_PURCHASE_SQL = """

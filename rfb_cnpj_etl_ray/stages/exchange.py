@@ -1,0 +1,38 @@
+"""Keyed block exchange: hash-partition a Dataset so every row of a key
+lands in exactly one block, enabling per-BATCH vectorized group work
+(``map_batches(fn, batch_size=None)`` with pandas/Arrow kernels over the
+whole frame) instead of one Python ``map_groups`` dispatch per group —
+the difference between O(keys) Python calls and O(blocks) at 1e8+ keys.
+
+Ray's ``groupby().map_groups`` is the per-group path; this is the
+per-block path the engine's own LWW merge uses (stages/merge.py): shuffle
+once by key hash, then every downstream reduce is a columnar kernel over
+run boundaries.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+from ray.data.context import ShuffleStrategy
+
+
+def repartition_by_key(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash-partition ``ds`` on ``keys`` into ``num_blocks`` blocks (one
+    key never spans two blocks). Uses Ray's hash-shuffle operator; the
+    required ``shuffle_strategy`` override is applied to THIS pipeline's
+    captured DataContext only (each root read captures its own copy), so
+    other datasets in the session keep the default sort-shuffle.
+
+    ``num_blocks`` defaults to the cluster CPU count (one reduce block
+    per core) — at multi-node scale pass an explicit count sized so a
+    block fits a worker's heap.
+    """
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds.repartition(num_blocks=num_blocks, keys=list(keys))

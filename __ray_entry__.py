@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rfb_cnpj_etl_ray.functions import multimodal as M
     from rfb_cnpj_etl_ray.functions import similarity as S
     from rfb_cnpj_etl_ray.functions import text as T
+    from rfb_cnpj_etl_ray import cnpj as C
     from rfb_cnpj_etl_ray.pipelines import relational as R
 
     return {
@@ -90,6 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge vs a commit log → rows-only check; the real correctness
         # gate is the oracle replayer in tests/test_ingest.py)
         "cdc_ingest_final_state": run_cdc_pipeline,
+        # the reference's CNPJ registry instantiated end-to-end: zip →
+        # headerless latin-1 CSV → route (multi-target) → transform
+        # chain → hash-partitioned lake load (schema.py:11-193,
+        # db_batch_producer.py:18-28,61-72)
+        "cnpj_empresa_load": C.cnpj_empresa_load,
+        "cnpj_estabelecimento_load": C.cnpj_estabelecimento_load,
+        "cnpj_cnae_sec_explode": C.cnpj_cnae_sec_explode,
+        "cnpj_pais_dim_load": C.cnpj_pais_dim_load,
         # relational operator inventory (SURVEY.md §2.4-2.7 analogs)
         "lww_latest_events": R.lww_latest_events,
         "explode_part_types": R.explode_part_types,
@@ -128,9 +137,14 @@ def oracle_sql() -> dict[str, str]:
     from rfb_cnpj_etl_ray.functions import dedup as D
     from rfb_cnpj_etl_ray.functions import similarity as S
     from rfb_cnpj_etl_ray.functions import text as T
+    from rfb_cnpj_etl_ray import cnpj as C
     from rfb_cnpj_etl_ray.pipelines import relational as R
 
     return {
+        "cnpj_empresa_load": C.CNPJ_EMPRESA_SQL,
+        "cnpj_estabelecimento_load": C.CNPJ_ESTABELECIMENTO_SQL,
+        "cnpj_cnae_sec_explode": C.CNPJ_CNAE_SEC_SQL,
+        "cnpj_pais_dim_load": C.CNPJ_PAIS_SQL,
         "lww_latest_events": R.LWW_LATEST_EVENTS_SQL,
         "explode_part_types": R.EXPLODE_PART_TYPES_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,

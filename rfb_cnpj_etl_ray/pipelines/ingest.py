@@ -493,6 +493,20 @@ def init_lake_distributed(
     """Epoch-0 init for big base snapshots: partition + write via Ray Data
     (the driver-side ``state.init_lake`` helper is for small/test bases).
     """
+    ds = ray.data.read_parquet(base_files, schema=spec.schema)
+    return init_lake_from_dataset(lake_dir, spec, ds, cfg=cfg)
+
+
+def init_lake_from_dataset(
+    lake_dir: str | Path,
+    spec: TableSpec,
+    ds: "ray.data.Dataset",
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Epoch-0 init from an arbitrary Dataset pipeline (e.g. the CNPJ
+    zip→CSV→transform chain): hash-partition by the spec key via the
+    staged exchange and commit. Duplicate keys collapse LWW (one row
+    survives) — the bulk-load face of the same merge algebra."""
     cfg = cfg or EngineConfig()
     cfg.validate()
     table_dir = Path(lake_dir) / spec.name
@@ -514,7 +528,6 @@ def init_lake_distributed(
         prep="base",
         worker_threads=int(_staged_task_cpus(cfg)),
     )
-    ds = ray.data.read_parquet(base_files, schema=spec.schema)
     task_cpus = _staged_task_cpus(cfg)
     stats = ds.map_batches(
         stage_fn, batch_format="pyarrow", batch_size=cfg.batch_size,

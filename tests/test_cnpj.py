@@ -1,0 +1,109 @@
+"""The 10-table CNPJ registry end-to-end: fixture zips → routed
+multi-target load → lake tables matching the DuckDB oracle exactly
+(the driver's comparison, run locally at sf0.001)."""
+
+import pyarrow as pa
+import pytest
+
+from rfb_cnpj_etl_ray import cnpj as C
+from rfb_cnpj_etl_ray.config import EngineConfig
+from rfb_cnpj_etl_ray.sources.csv_source import route_targets
+from tests.util_compare import assert_query_matches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _isolated_cache(tmp_path, monkeypatch):
+    # _ensure_cnpj_lake caches under GRAFT_TMP; isolate per test session
+    monkeypatch.setenv("GRAFT_TMP", str(tmp_path))
+    yield
+
+
+def test_registry_covers_all_reference_tables():
+    assert set(C.CNPJ_REGISTRY) == {
+        "cnae", "motivo", "municipio", "natureza_juridica", "pais",
+        "qualificacao_socio", "empresa", "estabelecimento", "simples",
+        "socio", "estabelecimento_cnae_sec",
+    }
+    # multi-target routing: one Estabelecimentos zip feeds two tables
+    assert sorted(route_targets("Estabelecimentos3.zip", C.CNPJ_REGISTRY)) == \
+        ["estabelecimento", "estabelecimento_cnae_sec"]
+    assert route_targets("Empresas0.zip", C.CNPJ_REGISTRY) == ["empresa"]
+    # per-reference chains: empresa numeric, estabelecimento 3 dates
+    assert C.CHAINS["empresa"].numeric_br == ["capital_social"]
+    assert len(C.CHAINS["estabelecimento"].date_columns) == 3
+    assert len(C.CHAINS["simples"].date_columns) == 4
+
+
+def test_cnpj_empresa_matches_oracle(ray_session):
+    assert_query_matches(C.cnpj_empresa_load, C.CNPJ_EMPRESA_SQL, SF_DIR)
+
+
+def test_cnpj_estabelecimento_matches_oracle(ray_session):
+    assert_query_matches(
+        C.cnpj_estabelecimento_load, C.CNPJ_ESTABELECIMENTO_SQL, SF_DIR
+    )
+
+
+def test_cnpj_cnae_sec_matches_oracle(ray_session):
+    assert_query_matches(C.cnpj_cnae_sec_explode, C.CNPJ_CNAE_SEC_SQL, SF_DIR)
+
+
+def test_cnpj_pais_matches_oracle(ray_session):
+    assert_query_matches(C.cnpj_pais_dim_load, C.CNPJ_PAIS_SQL, SF_DIR)
+
+
+def test_cnpj_incremental_update_after_load(ray_session, tmp_path):
+    """The loaded empresa table is a normal CDC table: a change segment
+    (capital update + delete) applies through the standard ingest path."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from rfb_cnpj_etl_ray.pipelines.ingest import ingest, read_lake_table
+
+    lake = C._ensure_cnpj_lake(SF_DIR)
+    before = read_lake_table(lake, "empresa")
+    assert before.num_rows > 0
+    doc0 = before.column("doc_id")[0].as_py()
+    doc1 = before.column("doc_id")[1].as_py()
+    spec = C.CNPJ_REGISTRY["empresa"]
+    events = pa.Table.from_pylist(
+        [
+            {"lsn": 1, "op": "U", "doc_id": doc0, "cnpj_basico": doc0,
+             "razao_social": "NOVA RAZAO LTDA", "capital_social": 999.5},
+            {"lsn": 2, "op": "D", "doc_id": doc1},
+        ],
+        schema=spec.change_schema(),
+    )
+    log_dir = tmp_path / "emp_log"
+    log_dir.mkdir()
+    pq.write_table(events, log_dir / "seg-0.parquet")
+    (log_dir / "manifest.json").write_text(json.dumps({
+        "segments": [{"name": "seg-0.parquet", "rows": 2,
+                      "min_lsn": 1, "max_lsn": 2,
+                      "bytes": (log_dir / "seg-0.parquet").stat().st_size}],
+    }))
+    ingest(lake, log_dir, table="empresa",
+           cfg=EngineConfig(num_partitions=8))
+    after = read_lake_table(lake, "empresa")
+    assert after.num_rows == before.num_rows - 1
+    row = after.filter(
+        pa.compute.equal(after["doc_id"], doc0)).to_pylist()[0]
+    assert row["razao_social"] == "NOVA RAZAO LTDA"
+    assert row["capital_social"] == 999.5
+    assert doc1 not in set(after["doc_id"].to_pylist())
+
+
+def test_load_refuses_overwrite_without_flag(ray_session, tmp_path):
+    zips = C.synth_cnpj_fixture(SF_DIR, tmp_path / "zips")
+    pais_zip = [z for z in zips if "Paises" in z]
+    C.load_cnpj_files(pais_zip, tmp_path / "lake",
+                      cfg=EngineConfig(num_partitions=2))
+    with pytest.raises(RuntimeError, match="already initialized"):
+        C.load_cnpj_files(pais_zip, tmp_path / "lake",
+                          cfg=EngineConfig(num_partitions=2))
+    # explicit full reload (the reference's monthly drop-and-reload)
+    C.load_cnpj_files(pais_zip, tmp_path / "lake",
+                      cfg=EngineConfig(num_partitions=2), overwrite=True)

@@ -164,6 +164,7 @@ def ingest(
             compression=cfg.staging_compression,
             min_lsn_exclusive=last.get("compaction_watermark"),
             worker_threads=int(_staged_task_cpus(cfg)),
+            salt_factor=cfg.salt_factor,
         )
         task_cpus = _staged_task_cpus(cfg)
         t_p0 = time.perf_counter()
@@ -174,6 +175,27 @@ def ingest(
         t_p1 = time.perf_counter()
         events_dropped_late = sum(r["rows"] for r in stats if r["part"] < 0)
         touched_parts = sorted({r["part"] for r in stats if r["part"] >= 0})
+        if cfg.salt_factor > 1:
+            # phase 2a: fold each (part, salt) bucket in parallel — a hot
+            # partition's fold spreads over salt_factor tasks; the salt is
+            # a doc_id hash, so each bucket's fold is complete per key.
+            from rfb_cnpj_etl_ray.stages.merge import make_salt_reducer
+
+            reducer = make_salt_reducer(str(staging),
+                                        worker_threads=int(task_cpus))
+            bucket_items = [
+                {"part": int(p), "salt": int(s)}
+                for p in touched_parts for s in range(cfg.salt_factor)
+            ]
+            ray.data.from_items(
+                bucket_items, override_num_blocks=max(1, len(bucket_items))
+            ).map_batches(
+                reducer, batch_format="pyarrow", batch_size=1,
+                num_cpus=task_cpus,
+            ).take_all()
+            chunk_glob = "stage2-*.arrow"
+        else:
+            chunk_glob = "stage-*.arrow"
         merge_fn = make_partition_merger(
             str(table_dir), str(staging), epoch,
             merger_kwargs["current_files"],
@@ -181,6 +203,7 @@ def ingest(
             compression=cfg.compression, row_group_size=cfg.row_group_size,
             write_mode=cfg.write_mode,
             worker_threads=int(task_cpus),
+            chunk_glob=chunk_glob,
         )
         items = ray.data.from_items(
             [{"part": int(p)} for p in touched_parts],

@@ -188,6 +188,7 @@ def make_stage_partitioner(
     prep: str = "events",
     min_lsn_exclusive: int | None = None,
     worker_threads: int = 1,
+    salt_factor: int = 1,
 ):
     """Build the phase-1 map_batches closure (plain function → elastic
     task pool, no actor startup cost). ``prep``: "events" converts change
@@ -198,9 +199,19 @@ def make_stage_partitioner(
     partial-reduce run boundaries and contiguous partition slices — a
     single payload gather per batch. Staged chunks are UNCOMPRESSED Arrow
     IPC files: transient shuffle data, written at memory-bandwidth and
-    mmap'd zero-copy by phase 2 (the lake snapshots stay zstd Parquet)."""
+    mmap'd zero-copy by phase 2 (the lake snapshots stay zstd Parquet).
+
+    ``salt_factor > 1`` (events prep only): every partition slice is
+    further split into key-hash salt buckets (``doc_salt_ids`` — each
+    doc_id wholly in one bucket) and staged as
+    ``salt{S}-stage-*.arrow``; phase 2 then runs as a TWO-stage fold
+    (``make_salt_reducer`` per bucket in parallel, then the partition
+    merger over the reduced buckets) so one pathologically hot
+    partition's fold work spreads over ``salt_factor`` tasks."""
     import uuid as _uuid
     from pathlib import Path as _Path
+
+    from rfb_cnpj_etl_ray.hashing import doc_salt_ids
 
     to_internal = ToInternal(payload_schema, num_partitions)
 
@@ -237,10 +248,20 @@ def make_stage_partitioner(
                     schema=_stage_stats_schema(),
                 )
             return _stage_stats_schema().empty_table()
+        salted = salt_factor > 1 and prep == "events"
+        if salted:
+            routed = routed.append_column(
+                SALT_COL,
+                pa.array(doc_salt_ids(routed.column("doc_id"), salt_factor),
+                         type=pa.int32()),
+            )
+        sort_prefix = [(PART_COL, "ascending")] + (
+            [(SALT_COL, "ascending")] if salted else []
+        )
         if partial_reduce and prep == "events":
             srt = routed.sort_by(
-                [(PART_COL, "ascending"), ("doc_id", "ascending"),
-                 (INTERNAL_LSN, "ascending")]
+                sort_prefix + [("doc_id", "ascending"),
+                               (INTERNAL_LSN, "ascending")]
             )
             keys = srt.column("doc_id").combine_chunks()
             n = len(keys)
@@ -252,20 +273,31 @@ def make_stage_partitioner(
         else:
             # no reduce → only partition-contiguity is needed: a single
             # int32-key sort, far cheaper than the 3-key string sort
-            srt = routed.sort_by([(PART_COL, "ascending")])
+            srt = routed.sort_by(sort_prefix)
         parts = srt.column(PART_COL).to_numpy()
-        bounds = np.flatnonzero(np.diff(parts)) + 1
+        if salted:
+            salts = srt.column(SALT_COL).to_numpy()
+            composite = parts.astype(np.int64) * salt_factor + salts
+            drop_cols = [PART_COL, SALT_COL]
+        else:
+            salts = None
+            composite = parts
+            drop_cols = [PART_COL]
+        bounds = np.flatnonzero(np.diff(composite)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(parts)]])
         rows = []
-        body = srt.drop_columns([PART_COL])
+        body = srt.drop_columns(drop_cols)
         uid = _uuid.uuid4().hex
         for s, e in zip(starts, ends):
             p = int(parts[s])
             chunk = body.slice(int(s), int(e - s))
             pdir = _Path(staging_dir) / f"part={p:04d}"
             pdir.mkdir(parents=True, exist_ok=True)
-            name = pdir / f"stage-{uid}-{s}.arrow"
+            if salted:
+                name = pdir / f"salt{int(salts[s]):03d}-stage-{uid}-{s}.arrow"
+            else:
+                name = pdir / f"stage-{uid}-{s}.arrow"
             with pa.OSFile(str(name), "wb") as f:
                 with pa.ipc.new_file(f, chunk.schema) as w:
                     w.write_table(chunk)
@@ -302,6 +334,44 @@ def load_partition_state(
     return lww_reduce(pa.concat_tables(tables))
 
 
+def make_salt_reducer(staging_dir: str, worker_threads: int = 1):
+    """Phase-2a of the salted staged merge: one task per (part, salt)
+    bucket folds that bucket's staged chunks to one reduced chunk
+    (``stage2-{salt}.arrow``, atomic rename — a retried task recomputes
+    identical content). Because the salt is a doc_id hash, the fold is
+    COMPLETE per key; phase 2b only merges buckets against the base."""
+    import os as _os
+    import uuid as _uuid
+    from pathlib import Path as _Path
+
+    def reduce_bucket(batch: pa.Table) -> pa.Table:
+        tune_worker_threads(worker_threads)
+        out = []
+        for row in batch.to_pylist():
+            part, salt = int(row["part"]), int(row["salt"])
+            pdir = _Path(staging_dir) / f"part={part:04d}"
+            chunks = sorted(pdir.glob(f"salt{salt:03d}-stage-*.arrow"))
+            if not chunks:
+                continue
+            pieces = []
+            for p in chunks:
+                with pa.memory_map(str(p), "r") as src:
+                    pieces.append(pa.ipc.open_file(src).read_all())
+            folded = lww_reduce(pa.concat_tables(pieces))
+            final = pdir / f"stage2-{salt:03d}.arrow"
+            tmp = pdir / f"stage2-{salt:03d}.tmp-{_uuid.uuid4().hex[:8]}"
+            with pa.OSFile(str(tmp), "wb") as f:
+                with pa.ipc.new_file(f, folded.schema) as w:
+                    w.write_table(folded)
+            _os.replace(tmp, final)
+            out.append({"part": part, "rows": folded.num_rows})
+        if not out:
+            return _stage_stats_schema().empty_table()
+        return pa.Table.from_pylist(out, schema=_stage_stats_schema())
+
+    return reduce_bucket
+
+
 def make_partition_merger(
     table_dir: str,
     staging_dir: str,
@@ -312,6 +382,7 @@ def make_partition_merger(
     row_group_size: int = 64 * 1024,
     write_mode: str = "cow",
     worker_threads: int = 1,
+    chunk_glob: str = "stage-*.arrow",
 ):
     """Build the phase-2 closure: merge one partition per input row
     (feed it a Dataset of {"part": k} items with batch_size=1).
@@ -335,7 +406,7 @@ def make_partition_merger(
         for part in batch.column("part").to_pylist():
             part = int(part)
             staged_paths = sorted((_Path(staging_dir) / f"part={part:04d}").glob(
-                "stage-*.arrow"))
+                chunk_glob))
             pieces = []
             for p in staged_paths:
                 with pa.memory_map(str(p), "r") as src:  # zero-copy read

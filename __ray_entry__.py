@@ -162,12 +162,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": T.QUALITY_SCORES_SQL,
         "train_val_split": T.TRAIN_VAL_SPLIT_SQL,
         "length_histogram": T.LENGTH_HISTOGRAM_SQL,
+        "language_id": T.LANGUAGE_ID_SQL,
+        "fingerprints": T.FINGERPRINTS_SQL,
+        "pack_sequences": T.PACK_SEQUENCES_SQL,
+        "embedding_near_dup": D.EMBEDDING_NEAR_DUP_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         # omitted on purpose (approximate / hash-based / stub-defined →
-        # rows-only): cdc_ingest_final_state, language_id, fingerprints,
-        # minhash_lsh_candidates, simhash_fingerprints, embedding_near_dup,
-        # ann_ivf_topk, multimodal_features
+        # rows-only): cdc_ingest_final_state, minhash_lsh_candidates,
+        # simhash_fingerprints, ann_ivf_topk, multimodal_features
     }

@@ -302,8 +302,7 @@ COSINE_THRESHOLD = 0.3
 
 def embedding_near_dup(sf_dir: str, threshold: float = COSINE_THRESHOLD):
     """Pairs of embeddings with cosine ≥ threshold within a label block —
-    numpy matmul per group (vectorized |block|² at bounded block size).
-    rows-only oracle (float pair enumeration not robust in SQL hash)."""
+    numpy matmul per group (vectorized |block|² at bounded block size)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -323,6 +322,17 @@ def embedding_near_dup(sf_dir: str, threshold: float = COSINE_THRESHOLD):
         )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                  AS DOUBLE), 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding)
+      >= {COSINE_THRESHOLD}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -121,10 +121,11 @@ FROM documents
 
 
 class LanguageId:
-    """Stopword-profile language-ID (n-gram heuristic): score = fraction
-    of words found in each language's profile; argmax wins, 'und' when no
-    profile word occurs. Deterministic, vectorized per profile. Not
-    SQL-expressible faithfully → rows-only oracle."""
+    """Stopword-profile language-ID (n-gram heuristic): score = number of
+    words found in each language's profile; argmax wins (ties break to
+    the alphabetically-first language), 'und' when no profile word
+    occurs. Score reported as integer milli-fraction (score*1000 // n) so
+    the DuckDB oracle matches bit-exactly across engines."""
 
     def __init__(self):
         self.profiles = {
@@ -134,22 +135,21 @@ class LanguageId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].str.lower().str.findall(WS_RE)
-        n = words.str.len().replace(0, 1)
-        scores = np.zeros((len(batch), len(self.langs)))
+        n = words.str.len().replace(0, 1).to_numpy(dtype=np.int64)
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
             prof = self.profiles[lang]
             scores[:, j] = words.map(
                 lambda ws, p=prof: sum(1 for w in ws if w in p)
             )
-        frac = scores / n.to_numpy()[:, None]
         best = np.argmax(scores, axis=1)
-        pred = np.where(scores.max(axis=1) > 0,
-                        np.array(self.langs)[best], "und")
+        best_score = scores[np.arange(len(batch)), best]
+        pred = np.where(best_score > 0, np.array(self.langs)[best], "und")
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "pred_lang": pred,
-                "lang_score": np.round(frac[np.arange(len(batch)), best], 3),
+                "lang_score_milli": (best_score * 1000 // n).astype("int64"),
             }
         )
 
@@ -160,67 +160,140 @@ def language_id(sf_dir: str):
     )
 
 
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+            f"x -> list_contains([{words}], x)))")
+
+
+LANGUAGE_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(lower(text), '\\S+')), 1) AS n,
+         {_profile_sql('de')} AS s_de,
+         {_profile_sql('en')} AS s_en,
+         {_profile_sql('es')} AS s_es,
+         {_profile_sql('fr')} AS s_fr,
+         {_profile_sql('pt')} AS s_pt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                 AND s_de >= s_pt THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_pt THEN 'es'
+            WHEN s_fr >= s_pt THEN 'fr'
+            ELSE 'pt' END AS pred_lang,
+       GREATEST(s_de, s_en, s_es, s_fr, s_pt) * 1000 // n AS lang_score_milli
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting — rolling-hash over a flat byte buffer
 # ---------------------------------------------------------------------------
 
 _FP_WINDOW = 16
-_FP_BASE = np.uint64(1099511628211)  # FNV prime; arithmetic wraps mod 2^64
+_FP_BASE = 131
+_FP_PRIME = 2147483647  # 2^31-1: products stay exact in int64 (and BIGINT)
 
 
-def _rolling_min_hash(texts: "pd.Series", window: int = _FP_WINDOW) -> np.ndarray:
-    """Min rolling polynomial hash of char ``window``-grams per doc.
+def _poly_hashes(texts: "pd.Series", window: int = _FP_WINDOW
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """(full polynomial hash, min rolling window hash) per doc, both
+    mod 2^31-1 with base 131 — deliberately SQL-reproducible (the DuckDB
+    oracle computes the identical fold over code points; equal to bytes
+    on ASCII corpora).
 
-    Fully vectorized across the whole batch: concatenate all docs into one
-    byte buffer, hash every window position once (sliding_window_view ·
-    powers, wrap-around mod 2^64), then take per-doc minima with
-    ``np.minimum.reduceat`` — windows crossing doc boundaries are masked.
-    Docs shorter than the window hash their whole (padded) content.
+    Fully vectorized across the whole batch: concatenate all docs into
+    one byte buffer, multiply each byte by its end-aligned power of the
+    base (one table lookup), ``np.add.reduceat`` per doc for the full
+    hash; window hashes via ``sliding_window_view`` · powers with
+    cross-doc windows masked to +inf before ``np.minimum.reduceat`` —
+    no per-doc Python loop anywhere.
     """
     encoded = texts.str.encode("utf-8")
     lens = encoded.str.len().to_numpy(dtype=np.int64)
-    # pad short docs so every doc has >= 1 window
-    pad = np.maximum(window - lens, 0)
-    buf = b"".join(
-        e + b"\x00" * int(p) for e, p in zip(encoded, pad)
-    )
+    pad = np.maximum(window - lens, 0)  # space-pad short docs (rpad analog)
+    buf = b"".join(e + b" " * int(p) for e, p in zip(encoded, pad))
     lens = lens + pad
-    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
-    if len(arr) < window:
-        return np.zeros(len(texts), dtype=np.uint64)
-    powers = _FP_BASE ** np.arange(window, dtype=np.uint64)[::-1]
-    win = np.lib.stride_tricks.sliding_window_view(arr, window)
-    hashes = (win * powers).sum(axis=1)  # wraps mod 2^64 by design
-    offsets = np.zeros(len(texts), dtype=np.int64)
+    n_docs = len(texts)
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    total = len(arr)
+    if total == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return z, z
+    offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
-    ends = offsets + lens - window + 1
-    # per-doc min over its valid window range [offsets[i], ends[i]) —
-    # one numpy reduction per doc (not per char/row-element)
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i in range(len(texts)):
-        out[i] = hashes[offsets[i]:ends[i]].min()
-    return out
+    ends = offsets + lens
+    maxlen = int(lens.max())
+    powers = np.empty(maxlen, dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, maxlen):  # O(maxlen), not O(rows)
+        powers[i] = (powers[i - 1] * _FP_BASE) % _FP_PRIME
+    # full hash: byte_i * base^(doc_end-1-i), summed per doc
+    exp = np.repeat(ends, lens) - 1 - np.arange(total)
+    terms = (arr * powers[exp]) % _FP_PRIME        # < 2^31 each
+    full = np.add.reduceat(terms, offsets) % _FP_PRIME
+    # rolling window hashes: mask cross-doc windows to prime (≥ any hash)
+    wpow = powers[window - 1::-1][:window]
+    win = np.lib.stride_tricks.sliding_window_view(arr, window)
+    whash = (win @ wpow) % _FP_PRIME               # sum < 16*255*2^31 « 2^63
+    starts = np.arange(len(whash))
+    doc_of = np.searchsorted(ends, starts, side="right")
+    valid = starts <= ends[doc_of] - window
+    whash = np.where(valid, whash, _FP_PRIME)
+    roll = np.minimum.reduceat(whash, np.minimum(offsets, len(whash) - 1))
+    return full.astype(np.int64), roll.astype(np.int64)
 
 
 def fingerprints(sf_dir: str):
-    """Two fingerprints per doc: SipHash of the full text (exact-dup key)
-    and min rolling 16-gram hash (locality-sensitive-ish, winnowing-lite).
-    rows-only oracle (hash functions not reproducible in SQL)."""
+    """Two fingerprints per doc: full-text polynomial hash (exact-dup
+    key) and min rolling 16-gram hash (locality-sensitive-ish,
+    winnowing-lite). Both mod 2^31-1 so the DuckDB oracle reproduces
+    them bit-exactly (list_reduce Horner fold / windowed list_min)."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        full = pd.util.hash_array(batch["text"].to_numpy(dtype=object))
-        rolling = _rolling_min_hash(batch["text"])
+        full, rolling = _poly_hashes(batch["text"])
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "full_hash": full.astype("int64"),   # two's-complement view
-                "rolling_min_hash": rolling.astype("int64"),
+                "full_hash": full,
+                "rolling_min_hash": rolling,
             }
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pandas"
     )
+
+
+def _window_term_sql(j: int) -> str:
+    power = pow(_FP_BASE, _FP_WINDOW - 1 - j, _FP_PRIME)
+    return (f"CAST(ord(substr(p, CAST(i + {j} AS INTEGER), 1)) AS BIGINT)"
+            f" * {power}")
+
+
+FINGERPRINTS_SQL = f"""
+WITH padded AS (
+  -- NOTE: rpad truncates long strings to n, so pad conditionally
+  SELECT doc_id,
+         CASE WHEN length(text) < {_FP_WINDOW}
+              THEN rpad(text, {_FP_WINDOW}, ' ') ELSE text END AS p
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(p) + 1),
+        i -> CAST(ord(substr(p, CAST(i AS INTEGER), 1)) AS BIGINT))),
+    (a, b) -> (a * {_FP_BASE} + b) % {_FP_PRIME}) AS full_hash,
+  list_min(list_transform(range(1, length(p) - {_FP_WINDOW - 2}),
+    i -> ({' + '.join(_window_term_sql(j) for j in range(_FP_WINDOW))})
+         % {_FP_PRIME})) AS rolling_min_hash
+FROM padded
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -284,34 +357,71 @@ FROM documents GROUP BY 1
 
 
 PACK_BUDGET = 2048
+#: docs pack greedily within fixed doc_id ranges of this size — pack
+#: boundaries are a pure function of the data (NOT of block layout), so
+#: results are identical at any parallelism and SQL-reproducible.
+PACK_GROUP = 256
 
 
 def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
-    """Greedy sequence packing: walk documents in doc_id order and close
+    """Greedy sequence packing: within each fixed doc_id range
+    (``doc_id // PACK_GROUP``), walk documents in doc_id order and close
     a pack when adding the next doc would exceed ``budget`` characters —
-    the pretraining-batch packing operator. Packing is inherently
-    sequential, so it runs per block over doc_id-ordered input and pack
-    ids are made globally unique by offsetting with the block's first
-    doc_id (partitioning assumption: pack boundaries never span blocks).
-    Not SQL-expressible without recursion → rows-only oracle."""
+    the pretraining-batch packing operator. The keyed hash exchange
+    co-locates each group; the greedy walk is inherently sequential
+    (data-dependent reset) but bounded to PACK_GROUP rows per group.
+    ``pack_id = group * 1_000_000 + local`` is globally unique."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    def add_group(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["grp"] = batch["doc_id"] // PACK_GROUP
+        return batch
 
     def pack(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.sort_values("doc_id").reset_index(drop=True)
         lens = b["n_chars"].to_numpy()
+        grps = b["grp"].to_numpy()
         pack_local = np.zeros(len(b), dtype=np.int64)
-        acc, pid = 0, 0
-        for i, ln in enumerate(lens):  # sequential by definition
+        acc, pid, cur = 0, 0, None
+        for i, (g, ln) in enumerate(zip(grps, lens)):  # sequential by design
+            if g != cur:
+                cur, pid, acc = g, 0, 0
             if acc + ln > budget and acc > 0:
                 pid += 1
                 acc = 0
             acc += ln
             pack_local[i] = pid
-        base = int(b["doc_id"].iloc[0]) if len(b) else 0
         return pd.DataFrame(
             {"doc_id": b["doc_id"],
-             "pack_id": pack_local + base * 1_000_000,
+             "pack_id": grps * 1_000_000 + pack_local,
              "n_chars": b["n_chars"]}
         )
 
-    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
-    return ds.map_batches(pack, batch_format="pandas")
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        add_group, batch_format="pandas"
+    )
+    return repartition_by_key(ds, ["grp"]).map_batches(
+        pack, batch_format="pandas", batch_size=None
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars, doc_id // {PACK_GROUP} AS grp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // {PACK_GROUP}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), r AS (
+  SELECT grp, rn, doc_id, n_chars,
+         CAST(0 AS BIGINT) AS pack_local, n_chars AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_chars,
+         CASE WHEN r.acc + d.n_chars > {PACK_BUDGET} AND r.acc > 0
+              THEN r.pack_local + 1 ELSE r.pack_local END,
+         CASE WHEN r.acc + d.n_chars > {PACK_BUDGET} AND r.acc > 0
+              THEN d.n_chars ELSE r.acc + d.n_chars END
+  FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1
+)
+SELECT doc_id, grp * 1000000 + pack_local AS pack_id, n_chars FROM r
+"""

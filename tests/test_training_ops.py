@@ -42,9 +42,10 @@ def test_fingerprints_deterministic_and_batchsize_invariant(ray_session):
     # rolling-min-hash must not depend on batch boundaries: compute the
     # same thing driver-side in one batch
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values("doc_id")
-    rolled = T._rolling_min_hash(docs["text"].reset_index(drop=True))
-    got = a.sort_values("doc_id")["rolling_min_hash"].to_numpy().astype(np.uint64)
-    assert (got == rolled).all()
+    full, rolled = T._poly_hashes(docs["text"].reset_index(drop=True))
+    srt = a.sort_values("doc_id")
+    assert (srt["rolling_min_hash"].to_numpy() == rolled).all()
+    assert (srt["full_hash"].to_numpy() == full).all()
 
 
 def test_minhash_candidates_superset_of_true_dups(ray_session):

@@ -254,6 +254,112 @@ def repartition_lake(
             "partitions_written": len(staged)}
 
 
+def compact_deltas(
+    lake_dir: str | Path,
+    table: str = "sequences",
+    min_delta_ratio: float = 0.2,
+    min_delta_rows: int = 0,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Size-tiered delta folding: rewrite ONLY partitions whose
+    accumulated delta rows exceed ``min_delta_ratio`` × base rows (and
+    ``min_delta_rows``); everything else keeps its merge-on-read deltas
+    untouched. Unlike :func:`compact`, no tombstone GC happens and no
+    watermark is recorded — this is the steady-state maintenance that
+    amortizes fold cost across epochs instead of paying a periodic
+    full-table rewrite spike (LSM size-tiered compaction, applied to the
+    per-partition delta stacks)."""
+    cfg = cfg or EngineConfig()
+    t0 = time.perf_counter()
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    commit = log.latest()
+    if commit is None:
+        raise RuntimeError(f"no commits in {table_dir}")
+    int_sch = internal_schema(schema_from_jsonable(commit["schema"]))
+    epoch = commit["epoch"] + 1
+
+    def delta_rows_of(v: dict) -> int:
+        # rows = base + deltas cumulative; base live unknown in delta mode,
+        # so estimate delta mass from file row counts recorded at commit
+        return int(v.get("rows", 0))
+
+    items = []
+    for p, v in commit["partitions"].items():
+        deltas = [d for d in v.get("deltas", []) if d is not None]
+        if not deltas:
+            continue
+        base_file = v.get("file")
+        import pyarrow.parquet as pq_
+
+        base_rows = (
+            pq_.read_metadata(table_dir / base_file).num_rows
+            if base_file is not None else 0
+        )
+        d_rows = sum(pq_.read_metadata(table_dir / d).num_rows for d in deltas)
+        if d_rows < min_delta_rows:
+            continue
+        if base_rows and d_rows < min_delta_ratio * base_rows:
+            continue
+        rels = ([base_file] if base_file else []) + deltas
+        items.append({"part": int(p), "rels": rels})
+
+    if not items:
+        return {"epoch": commit["epoch"], "partitions_folded": 0,
+                "noop": True}
+
+    def fold(batch: pa.Table) -> pa.Table:
+        from rfb_cnpj_etl_ray.stages.merge import load_partition_state
+
+        rows = []
+        for row in batch.to_pylist():
+            part, rels = row["part"], row["rels"]
+            t = load_partition_state(str(table_dir), rels, int_sch)
+            t = t.sort_by([("doc_id", "ascending")])
+            new_rel = f"part={part:04d}/epoch-{epoch:06d}.parquet"
+            size = atomic_write_table(
+                t, table_dir / new_rel,
+                compression=cfg.compression, row_group_size=cfg.row_group_size,
+            )
+            live = int(pc.sum(pc.invert(t[INTERNAL_DELETED])).as_py() or 0)
+            keys = t.column("doc_id")
+            rows.append({
+                "part": part, "file": new_rel, "rows": t.num_rows,
+                "live_rows": live, "bytes": size,
+                "doc_id_min": keys[0].as_py() if t.num_rows else None,
+                "doc_id_max": keys[-1].as_py() if t.num_rows else None,
+            })
+        return pa.Table.from_pylist(rows)
+
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    results = ds.map_batches(fold, batch_format="pyarrow",
+                             batch_size=1).take_all()
+    partitions = dict(commit["partitions"])
+    for r in results:
+        old = dict(partitions[str(r["part"])])
+        old.update({
+            "file": r["file"], "rows": r["rows"], "live_rows": r["live_rows"],
+            "bytes": r["bytes"], "doc_id_min": r["doc_id_min"],
+            "doc_id_max": r["doc_id_max"],
+        })
+        old.pop("deltas", None)
+        partitions[str(r["part"])] = old
+    log.append({
+        "epoch": epoch,
+        "table": table,
+        "num_partitions": commit["num_partitions"],
+        "schema": commit["schema"],
+        "partitions": partitions,
+        "segments": commit.get("segments", []),
+        "parent": commit["epoch"],
+        **({"compaction_watermark": commit["compaction_watermark"]}
+           if commit.get("compaction_watermark") is not None else {}),
+        "metrics": {"partitions_folded": len(results),
+                    "seconds": round(time.perf_counter() - t0, 3)},
+    })
+    return {"epoch": epoch, "partitions_folded": len(results), "noop": False}
+
+
 def compact(lake_dir: str | Path, table: str = "sequences",
             watermark_lsn: int | None = None,
             cfg: EngineConfig | None = None) -> dict:

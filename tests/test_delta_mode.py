@@ -120,3 +120,44 @@ def test_lookup_point_reads(ray_session, tmp_path):
     by = {r["doc_id"]: r for r in expected.to_pylist()}
     for row in out.to_pylist():
         assert row["tokens"] == by[row["doc_id"]]["tokens"]
+
+
+def test_size_tiered_delta_compaction(ray_session, tmp_path):
+    """compact_deltas folds only partitions whose delta mass crosses the
+    ratio; others keep merge-on-read deltas; final state stays exact."""
+    from rfb_cnpj_etl_ray.pipelines.maintenance import compact_deltas
+
+    base, events, log_dir, lake, cfg, manifest = _setup(
+        tmp_path, n_docs=600, n_events=3000, n_segments=6)
+    full = manifest["segments"]
+    for upto in (2, 4, 6):
+        manifest["segments"] = full[:upto]
+        (log_dir / "manifest.json").write_text(json.dumps(manifest))
+        ingest(lake, log_dir, cfg=cfg)
+    log = CommitLog(lake / "sequences")
+    before = {k: list(v.get("deltas", []))
+              for k, v in log.latest()["partitions"].items()}
+    assert any(before.values())
+    expected = replay(base, events)
+
+    r = compact_deltas(lake, min_delta_ratio=0.5)
+    assert not r["noop"]
+    after = CommitLog(lake / "sequences").latest()["partitions"]
+    folded = [k for k in before if before[k] and not after[k].get("deltas")]
+    kept = [k for k in before if before[k] and after[k].get("deltas")]
+    assert folded, "nothing folded at ratio 0.5"
+    assert_states_equal(expected, read_lake_table(lake))
+
+    # high threshold → noop; zero threshold → everything folds
+    assert compact_deltas(lake, min_delta_ratio=10_000)["noop"] or not kept
+    r2 = compact_deltas(lake, min_delta_ratio=0.0)
+    assert not CommitLog(lake / "sequences").has_deltas()
+    assert_states_equal(expected, read_lake_table(lake))
+
+    # ingest continues normally on the mixed table
+    extra = make_changelog(200, 600, seed=99, max_len=32,
+                           start_lsn=10_000_000)
+    log_dir2 = tmp_path / "log2"
+    write_changelog_segments(extra, log_dir2, 1)
+    ingest(lake, log_dir2, cfg=cfg)
+    assert_states_equal(replay(expected, extra), read_lake_table(lake))

@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lww_latest_events": R.lww_latest_events,
         "explode_part_types": R.explode_part_types,
         "customers_without_orders": R.customers_without_orders,
+        "customers_without_orders_bucketed": R.customers_without_orders_bucketed,
+        "customers_without_orders_bloom": R.customers_without_orders_bloom,
         "normalize_nation_codes": R.normalize_nation_codes,
         "upsert_static_nations": R.upsert_static_nations,
         "pricing_summary": R.pricing_summary,
@@ -148,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "lww_latest_events": R.LWW_LATEST_EVENTS_SQL,
         "explode_part_types": R.EXPLODE_PART_TYPES_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customers_without_orders_bucketed": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customers_without_orders_bloom": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "normalize_nation_codes": R.NORMALIZE_NATION_CODES_SQL,
         "upsert_static_nations": R.UPSERT_STATIC_NATIONS_SQL,
         "pricing_summary": R.PRICING_SUMMARY_SQL,

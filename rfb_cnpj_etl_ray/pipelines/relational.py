@@ -149,6 +149,74 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000
 """
 
 
+def customers_without_orders_bucketed(sf_dir: str):
+    """Same anti-join, LARGE-LARGE path: no broadcast key set — both
+    sides hash-exchange on the key (each key wholly in one block) and
+    every block filters vectorized. The shape that survives when the
+    parent side outgrows memory (stages/joins.bucketed_anti_join)."""
+    from rfb_cnpj_etl_ray.stages.joins import bucketed_anti_join
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders_keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > _HIGH_VALUE,
+    )
+    return bucketed_anti_join(customers, orders_keys,
+                              "c_custkey", "o_custkey")
+
+
+def customers_without_orders_bloom(sf_dir: str):
+    """Bloom-prefiltered exact anti-join: a distributed-built Bloom over
+    the parent keys rides the object store; definite non-members pass
+    without shuffling (the overwhelming majority), only possible members
+    (≈ fp_rate of the left) continue to the exact bucketed verify — so
+    the result is EXACT, the bloom only prunes shuffle volume."""
+    from rfb_cnpj_etl_ray.stages.joins import (
+        BloomFilter,
+        bucketed_anti_join,
+        build_bloom,
+    )
+
+    orders_keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > _HIGH_VALUE,
+    )
+    bloom = build_bloom(orders_keys, "o_custkey", n_keys_hint=100_000)
+    bloom_ref = ray.put((bloom.m, bloom.k, bloom.bits))
+
+    class Split:
+        def __init__(self, ref, want_members: bool):
+            m, k, bits = ray.get(ref)  # once per actor
+            self.bloom = BloomFilter(m, k, bits=bits)
+            self.want = want_members
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            member = self.bloom.might_contain(batch.column("c_custkey"))
+            keep = member if self.want else ~member
+            return batch.filter(pa.array(keep))
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    definite_out = customers.map_batches(
+        Split, fn_constructor_kwargs={"ref": bloom_ref, "want_members": False},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+    candidates = customers.map_batches(
+        Split, fn_constructor_kwargs={"ref": bloom_ref, "want_members": True},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+    verified = bucketed_anti_join(candidates, orders_keys,
+                                  "c_custkey", "o_custkey")
+    out = definite_out.union(verified)
+    # the union's captured context governs planning for the whole tree;
+    # the verified branch contains a keyed (hash-shuffle) repartition
+    from ray.data.context import ShuffleStrategy
+
+    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return out
+
+
 # ---------------------------------------------------------------------------
 # P3/P4/P5 analogs — conditional update / default fill / zero-pad
 # ---------------------------------------------------------------------------

@@ -24,3 +24,35 @@ CASES = [
 @pytest.mark.parametrize("fn,sql", CASES, ids=[c[0].__name__ for c in CASES])
 def test_relational_matches_oracle(ray_session, fn, sql):
     assert_query_matches(fn, sql, SF_DIR)
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from rfb_cnpj_etl_ray.stages.joins import BloomFilter
+
+    keys = np.arange(5000, dtype=np.int64)
+    f = BloomFilter.sized_for(5000, fp_rate=0.01)
+    f.add(keys)
+    assert f.might_contain(keys).all()  # zero false negatives, always
+    probe = np.arange(100_000, 200_000, dtype=np.int64)
+    fp = f.might_contain(probe).mean()
+    assert fp < 0.05  # ~1% designed, generous bound
+
+
+def test_bucketed_anti_join_matches_oracle(ray_session):
+    from rfb_cnpj_etl_ray.pipelines.relational import (
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+        customers_without_orders_bucketed,
+    )
+    assert_query_matches(customers_without_orders_bucketed,
+                         CUSTOMERS_WITHOUT_ORDERS_SQL, SF_DIR)
+
+
+def test_bloom_anti_join_matches_oracle(ray_session):
+    from rfb_cnpj_etl_ray.pipelines.relational import (
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+        customers_without_orders_bloom,
+    )
+    assert_query_matches(customers_without_orders_bloom,
+                         CUSTOMERS_WITHOUT_ORDERS_SQL, SF_DIR)

@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": S.ann_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "multimodal_features": M.multimodal_features,
+        "multimodal_wav_decode": M.multimodal_wav_decode,
     }
 
 
@@ -174,7 +175,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
-        # omitted on purpose (approximate / hash-based / stub-defined →
+        "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
+        # omitted on purpose (approximate / hash-based / binary-container →
         # rows-only): cdc_ingest_final_state, minhash_lsh_candidates,
-        # simhash_fingerprints, ann_ivf_topk, multimodal_features
+        # simhash_fingerprints, ann_ivf_topk, multimodal_wav_decode
     }

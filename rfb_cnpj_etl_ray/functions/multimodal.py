@@ -73,20 +73,22 @@ class FakeDecoder:
             if batch.num_rows else np.array([], dtype=np.uint8)
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        means = np.zeros(len(lens))
         nonempty = lens > 0
-        if flat.size:
-            sums = np.add.reduceat(flat.astype(np.int64), offsets[nonempty])
-            means[nonempty] = sums / lens[nonempty]
         width = (lens % 640 + 1).astype(np.int32)
         height = (lens % 480 + 1).astype(np.int32)
+        # integer-milli mean (sum*1000 // len): bit-equal across engines,
+        # so the DuckDB oracle can check this stage exactly
+        luma_milli = np.zeros(len(lens), dtype=np.int64)
+        if flat.size:
+            sums = np.add.reduceat(flat.astype(np.int64), offsets[nonempty])
+            luma_milli[nonempty] = sums * 1000 // lens[nonempty]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "media_type": batch.column("media_type"),
                 "width": pa.array(width),
                 "height": pa.array(height),
-                "mean_luma": pa.array(np.round(means, 3)),
+                "mean_luma_milli": pa.array(luma_milli),
                 "n_bytes": batch.column("n_bytes"),
             }
         )
@@ -116,13 +118,116 @@ def attach_payloads(sf_dir: str):
 
 def multimodal_features(sf_dir: str, batch_size: int = 512):
     """The full plumbing pipeline: attach payloads → actor-pool decode
-    (fake) → feature table. rows-only oracle (features are stub-defined).
-    """
+    (fake) → feature table. The fake's features are pure byte arithmetic,
+    so a DuckDB oracle reproduces them exactly (ASCII corpus: code point
+    == byte)."""
     media = attach_payloads(sf_dir)
     return media.map_batches(
         FakeDecoder,
         fn_constructor_kwargs={"media_type": "image"},
         batch_format="pyarrow",
         batch_size=batch_size,   # small: binary rows are wide
+        concurrency=(1, 4),
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+       list_sum(list_transform(range(1, length(text) + 1),
+                i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)))
+         * 1000 // length(text) AS mean_luma_milli,
+       CAST(length(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# a REAL stdlib codec path: RIFF/WAV audio decode (no external deps)
+# ---------------------------------------------------------------------------
+
+class WavDecoder:
+    """Genuine audio decode with the stdlib ``wave`` codec: each payload
+    is a real RIFF/WAV container; the actor parses the header, reads the
+    PCM frames, and extracts (sample_rate, channels, frames, duration,
+    RMS amplitude). Decode is inherently per-payload (container format),
+    so the loop is per row INSIDE an actor-pool stage — the scale lever
+    is the pool, exactly like a PIL/libav decoder would run."""
+
+    def __init__(self):
+        import wave  # codec bound once per actor
+
+        self._wave = wave
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        rows = []
+        for row in batch.to_pylist():
+            with self._wave.open(io.BytesIO(row["payload"]), "rb") as w:
+                rate, nch, nframes = (w.getframerate(), w.getnchannels(),
+                                      w.getnframes())
+                pcm = np.frombuffer(w.readframes(nframes), dtype=np.int16)
+            rms = int(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) \
+                if pcm.size else 0
+            rows.append({
+                "doc_id": row["doc_id"],
+                "sample_rate": rate,
+                "n_channels": nch,
+                "n_frames": nframes,
+                "duration_ms": nframes * 1000 // rate,
+                "rms": rms,
+            })
+        return pa.Table.from_pylist(rows)
+
+
+def attach_wav_payloads(sf_dir: str):
+    """MEDIA_SCHEMA dataset whose payloads are REAL WAV files: a
+    deterministic sine per doc (freq = 220 + doc_id % 440 Hz, 50 ms,
+    8 kHz mono 16-bit), encoded with the stdlib codec — no external
+    data, real container bytes."""
+    import io
+    import wave
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id in batch.column("doc_id").to_pylist():
+            rate, dur = 8000, 0.05
+            t = np.arange(int(rate * dur)) / rate
+            tone = (np.sin(2 * np.pi * (220 + doc_id % 440) * t)
+                    * 16000).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(tone.tobytes())
+            payloads.append(buf.getvalue())
+        n = [len(p) for p in payloads]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(payloads, type=pa.binary()),
+             pa.array(["audio"] * batch.num_rows),
+             pa.array(n, type=pa.int64())],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+
+
+def multimodal_wav_decode(sf_dir: str, batch_size: int = 512):
+    """Real-codec pipeline: synth WAV payloads → actor-pool WavDecoder →
+    audio feature table. rows-only oracle (SQL cannot parse RIFF), but
+    tests assert exact header fields and RMS against the generator."""
+    return attach_wav_payloads(sf_dir).map_batches(
+        WavDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=(1, 4),
     )

@@ -142,3 +142,22 @@ def test_pack_sequences_invariants(ray_session):
     assert (over["n"] == 1).all()  # only single oversized docs exceed
     again = to_pandas(pack_sequences(SF_DIR))
     pd.testing.assert_frame_equal(normalize(out), normalize(again))
+
+
+def test_multimodal_features_matches_oracle(ray_session):
+    assert_query_matches(M.multimodal_features, M.MULTIMODAL_FEATURES_SQL,
+                         SF_DIR)
+
+
+def test_wav_decode_real_codec(ray_session):
+    """WavDecoder parses genuine RIFF/WAV bytes: header fields and RMS
+    must match the generator exactly (16000-amplitude sine → RMS ≈
+    16000/√2, within quantization)."""
+    df = to_pandas(M.multimodal_wav_decode(SF_DIR)).sort_values("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(df) == len(docs)
+    assert (df["sample_rate"] == 8000).all()
+    assert (df["n_channels"] == 1).all()
+    assert (df["n_frames"] == 400).all()
+    assert (df["duration_ms"] == 50).all()
+    assert df["rms"].between(10500, 11700).all()

@@ -110,7 +110,7 @@ def test_multimodal_plumbing(ray_session):
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     assert len(feats) == len(docs)
     assert set(feats.columns) == {"doc_id", "media_type", "width", "height",
-                                  "mean_luma", "n_bytes"}
+                                  "mean_luma_milli", "n_bytes"}
     assert (feats["n_bytes"] == docs.set_index("doc_id").loc[
         feats["doc_id"], "text"].str.encode("utf-8").str.len().to_numpy()).all()
     # deterministic

@@ -82,6 +82,12 @@ class EngineConfig:
     #: rows per row-group in written parquet (bounds reader memory).
     row_group_size: int = 64 * 1024
 
+    # --- progress ---------------------------------------------------------
+    #: live progress lines during ingest (reference: utils/progress.py
+    #: bar). One fire-and-forget counter call per staged batch; off by
+    #: default to keep benches clean.
+    progress: bool = False
+
     # --- failure injection (tests only) -----------------------------------
     #: when True, ``ingest`` stages all partition files but raises before the
     #: commit-log append — simulates a crash between staging and commit

@@ -150,6 +150,13 @@ def ingest(
         row_group_size=cfg.row_group_size,
     )
 
+    reporter = None
+    if cfg.progress:
+        from rfb_cnpj_etl_ray.progress import ProgressReporter
+
+        reporter = ProgressReporter(total=events_read,
+                                    label=f"{table} epoch {epoch}")
+
     ds = ray.data.read_parquet(paths, schema=change_schema)
     if cfg.shuffle == "staged":
         # two-phase staged exchange (see stages/merge.py): no sort
@@ -165,6 +172,7 @@ def ingest(
             min_lsn_exclusive=last.get("compaction_watermark"),
             worker_threads=int(_staged_task_cpus(cfg)),
             salt_factor=cfg.salt_factor,
+            progress_counter=(reporter.counter if reporter else None),
         )
         task_cpus = _staged_task_cpus(cfg)
         t_p0 = time.perf_counter()
@@ -322,6 +330,8 @@ def ingest(
         },
     }
     log.append(record)
+    if reporter is not None:
+        reporter.stop()
     if cfg.shuffle == "staged":
         import shutil as _shutil
 

@@ -189,6 +189,7 @@ def make_stage_partitioner(
     min_lsn_exclusive: int | None = None,
     worker_threads: int = 1,
     salt_factor: int = 1,
+    progress_counter=None,
 ):
     """Build the phase-1 map_batches closure (plain function → elastic
     task pool, no actor startup cost). ``prep``: "events" converts change
@@ -217,6 +218,8 @@ def make_stage_partitioner(
 
     def stage(batch: pa.Table) -> pa.Table:
         tune_worker_threads(worker_threads)
+        if progress_counter is not None:  # fire-and-forget, off data path
+            progress_counter.add.remote(batch.num_rows)
         n_dropped_late = 0
         if prep == "events":
             if min_lsn_exclusive is not None:

@@ -202,3 +202,15 @@ def test_doc_salt_ids_partition_independent():
         assert seen == {0, 1, 2, 3}
     # deterministic
     assert (doc_salt_ids(ids, 4) == salts).all()
+
+
+def test_progress_reporter_lines(ray_session, tmp_path, capfd):
+    """cfg.progress=True renders live percent/rate lines and a final
+    summary without touching the result."""
+    import io
+
+    base, events, log_dir, lake, cfg = _setup(tmp_path, progress=True)
+    ingest(lake, log_dir, cfg=cfg)
+    err = capfd.readouterr().err
+    assert "done:" in err and "events" in err
+    assert_states_equal(replay(base, events), read_lake_table(lake))

@@ -308,3 +308,29 @@ def test_numeric_br_requires_digit():
     t = pa.table({"v": [",", ".,", "1.234,56", "12,5", "a,b", None]})
     out = normalize_numeric_br(t, ["v"])["v"].to_pylist()
     assert out == [",", ".,", "1234.56", "12.5", "a,b", None]
+
+
+# --- pluggable sinks (export surface) -------------------------------------
+
+def test_export_lake_through_registered_sinks(ray_session, tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from rfb_cnpj_etl_ray.sinks import export_lake
+
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    expected = read_lake_table(lake)
+
+    r = export_lake(lake, tmp_path / "out_parquet", sink="parquet")
+    assert r["rows"] == expected.num_rows
+    manifest = _json.loads((tmp_path / "out_parquet" / "_manifest.json").read_text())
+    files = [tmp_path / "out_parquet" / p["file"] for p in manifest["partitions"]]
+    got = pa.concat_tables([_pq.read_table(f) for f in files]) \
+        .sort_by([("doc_id", "ascending")])
+    assert got.equals(expected)
+
+    r2 = export_lake(lake, tmp_path / "out_ipc", sink="ipc")
+    assert r2["rows"] == expected.num_rows
+    with pytest.raises(ValueError, match="unknown sink"):
+        export_lake(lake, tmp_path / "nope", sink="mysql")

@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rfb_cnpj_etl_ray.functions import dedup as D
+    from rfb_cnpj_etl_ray.functions import multimodal as M
     from rfb_cnpj_etl_ray.functions import similarity as S
     from rfb_cnpj_etl_ray.functions import text as T
     from rfb_cnpj_etl_ray import cnpj as C

@@ -76,6 +76,29 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--poll-interval", type=float, default=2.0)
     sp.add_argument("--idle-rounds", type=int, default=5)
 
+    sp = sub.add_parser("compact-deltas",
+                        help="size-tiered delta fold (no GC spike)")
+    sp.add_argument("lake")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--min-delta-ratio", type=float, default=0.2)
+
+    sp = sub.add_parser("export", help="export lake state through a sink")
+    sp.add_argument("lake")
+    sp.add_argument("out_dir")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--sink", default="parquet",
+                    choices=["parquet", "ipc", "csv"])
+
+    sp = sub.add_parser("fetch", help="mirror a remote change-log (resume)")
+    sp.add_argument("remote_log_dir")
+    sp.add_argument("local_log_dir")
+
+    sp = sub.add_parser("load-cnpj", help="full load of CNPJ zip archives")
+    sp.add_argument("lake")
+    sp.add_argument("zips", nargs="+")
+    sp.add_argument("--num-partitions", type=int, default=32)
+    sp.add_argument("--overwrite", action="store_true")
+
     sp = sub.add_parser("synth", help="generate deterministic base+log data")
     sp.add_argument("out_dir")
     sp.add_argument("--docs", type=int, default=10_000)
@@ -151,6 +174,37 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake, args.log_dir, table=args.table,
                 poll_interval=args.poll_interval,
                 idle_rounds_to_stop=args.idle_rounds)))
+        elif args.cmd == "compact-deltas":
+            from rfb_cnpj_etl_ray.pipelines.maintenance import compact_deltas
+
+            print(json.dumps(compact_deltas(
+                args.lake, args.table,
+                min_delta_ratio=args.min_delta_ratio)))
+        elif args.cmd == "export":
+            from rfb_cnpj_etl_ray.sinks import export_lake
+
+            print(json.dumps(export_lake(
+                args.lake, args.out_dir, table=args.table, sink=args.sink)))
+        elif args.cmd == "fetch":
+            from rfb_cnpj_etl_ray.sources.fetcher import fetch_manifest_segments
+
+            reports = fetch_manifest_segments(args.remote_log_dir,
+                                              args.local_log_dir)
+            print(json.dumps({"segments": len(reports),
+                              "bytes": sum(r["bytes"] for r in reports)}))
+        elif args.cmd == "load-cnpj":
+            from rfb_cnpj_etl_ray.cnpj import load_cnpj_files
+            from rfb_cnpj_etl_ray.config import EngineConfig
+
+            out = load_cnpj_files(
+                args.zips, args.lake,
+                cfg=EngineConfig(num_partitions=args.num_partitions),
+                overwrite=args.overwrite,
+            )
+            print(json.dumps({
+                t: {"rows": rec["metrics"]["rows_total"]}
+                for t, rec in out.items()
+            }))
     finally:
         if owns_session:  # don't tear down a caller-owned session
             ray.shutdown()

@@ -75,3 +75,27 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     assert ingest_report["events_read"] == 400
     validate_report = json.loads(out[3])
     assert validate_report["lake"]["ok"]
+
+
+def test_cli_new_commands(ray_session, tmp_path, capsys):
+    """fetch → init → ingest (delta) → compact-deltas → export through
+    the CLI main()."""
+    from rfb_cnpj_etl_ray.cli import main
+
+    data = tmp_path / "data"
+    assert main(["synth", str(data), "--docs", "100", "--events", "400",
+                 "--segments", "2"]) == 0
+    # mirror the log via the fetcher (resume-capable path)
+    assert main(["fetch", str(data / "log"), str(tmp_path / "mirror")]) == 0
+    lake = tmp_path / "lake"
+    assert main(["init", str(lake), str(data / "base.parquet"),
+                 "--num-partitions", "4"]) == 0
+    assert main(["ingest", str(lake), str(tmp_path / "mirror"),
+                 "--write-mode", "delta"]) == 0
+    assert main(["compact-deltas", str(lake),
+                 "--min-delta-ratio", "0.0"]) == 0
+    assert main(["export", str(lake), str(tmp_path / "out"),
+                 "--sink", "parquet"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["partitions"] >= 1
+    assert (tmp_path / "out" / "_manifest.json").exists()

@@ -28,11 +28,13 @@ def repartition_by_key(
     captured DataContext only (each root read captures its own copy), so
     other datasets in the session keep the default sort-shuffle.
 
-    ``num_blocks`` defaults to the cluster CPU count (one reduce block
-    per core) — at multi-node scale pass an explicit count sized so a
-    block fits a worker's heap.
+    ``num_blocks`` defaults to half the cluster CPU count (each hash
+    partition costs a long-lived shuffle-actor slot, and fewer/larger
+    blocks amortize that fixed setup — measured 3.7s→2.3s on the lww
+    bench going 32→8 blocks at sf0.1) — at multi-node scale pass an
+    explicit count sized so a block fits a worker's heap.
     """
     if num_blocks is None:
-        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return ds.repartition(num_blocks=num_blocks, keys=list(keys))

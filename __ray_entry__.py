@@ -99,6 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cnpj_estabelecimento_load": C.cnpj_estabelecimento_load,
         "cnpj_cnae_sec_explode": C.cnpj_cnae_sec_explode,
         "cnpj_pais_dim_load": C.cnpj_pais_dim_load,
+        "cnpj_simples_load": C.cnpj_simples_load,
+        "cnpj_socio_load": C.cnpj_socio_load,
+        "cnpj_cnae_dim_load": C.cnpj_cnae_dim_load,
+        "cnpj_motivo_dim_load": C.cnpj_motivo_dim_load,
+        "cnpj_municipio_dim_load": C.cnpj_municipio_dim_load,
+        "cnpj_natureza_dim_load": C.cnpj_natureza_dim_load,
+        "cnpj_qualificacao_dim_load": C.cnpj_qualificacao_dim_load,
         # relational operator inventory (SURVEY.md §2.4-2.7 analogs)
         "lww_latest_events": R.lww_latest_events,
         "explode_part_types": R.explode_part_types,
@@ -149,6 +156,13 @@ def oracle_sql() -> dict[str, str]:
         "cnpj_estabelecimento_load": C.CNPJ_ESTABELECIMENTO_SQL,
         "cnpj_cnae_sec_explode": C.CNPJ_CNAE_SEC_SQL,
         "cnpj_pais_dim_load": C.CNPJ_PAIS_SQL,
+        "cnpj_simples_load": C.CNPJ_SIMPLES_SQL,
+        "cnpj_socio_load": C.CNPJ_SOCIO_SQL,
+        "cnpj_cnae_dim_load": C.CNPJ_CNAE_SQL,
+        "cnpj_motivo_dim_load": C.CNPJ_MOTIVO_SQL,
+        "cnpj_municipio_dim_load": C.CNPJ_MUNICIPIO_SQL,
+        "cnpj_natureza_dim_load": C.CNPJ_NATUREZA_SQL,
+        "cnpj_qualificacao_dim_load": C.CNPJ_QUALIFICACAO_SQL,
         "lww_latest_events": R.LWW_LATEST_EVENTS_SQL,
         "explode_part_types": R.EXPLODE_PART_TYPES_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,

@@ -327,6 +327,81 @@ def steady_state() -> None:
     ray.shutdown()
 
 
+def endurance() -> None:
+    """10^9-event endurance: chunked synth (GRAFT_END_EVENTS, default
+    1e9) replayed in GRAFT_END_EPOCHS epochs (bounds the transient
+    staging footprint to one epoch's events), progressive manifest like
+    a live WAL. Prints per-epoch seconds + overall events/sec. Shorter
+    token lists (max_len=32) keep the log inside the tmpfs budget; the
+    ratio events:doc and the merge work per event match the headline
+    shape."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from rfb_cnpj_etl_ray import EngineConfig, PAYLOAD_SCHEMA, TableSpec
+    from rfb_cnpj_etl_ray.pipelines import ingest
+    from rfb_cnpj_etl_ray.pipelines.ingest import init_lake_distributed
+    from rfb_cnpj_etl_ray.synth import synth_dataset_big
+
+    n_events = int(os.environ.get("GRAFT_END_EVENTS", "1000000000"))
+    n_docs = int(os.environ.get("GRAFT_END_DOCS", "20000000"))
+    n_epochs = int(os.environ.get("GRAFT_END_EPOCHS", "10"))
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
+    t_synth0 = time.perf_counter()
+    data = synth_dataset_big(
+        tmp / f"end_{n_docs}_{n_events}", n_docs=n_docs, n_events=n_events,
+        n_segments=n_epochs * 16, max_len=32,
+    )
+    t_synth = time.perf_counter() - t_synth0
+
+    manifest_path = data / "log" / "manifest.json"
+    manifest = json.loads(manifest_path.read_text())
+    all_segs = manifest["segments"]
+    per = (len(all_segs) + n_epochs - 1) // n_epochs
+
+    lake = tmp / f"end_lake_{NUM_CPUS}"
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = EngineConfig(
+        num_partitions=int(os.environ.get("GRAFT_END_PARTITIONS", "128")),
+        batch_size=int(os.environ.get("GRAFT_BENCH_BATCH_SIZE", "131072")),
+    )
+    init_lake_distributed(
+        lake, TableSpec(name="sequences", schema=PAYLOAD_SCHEMA),
+        [str(data / "base.parquet")], cfg=cfg,
+    )
+    epoch_secs, epoch_events = [], []
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        manifest["segments"] = all_segs[: (e + 1) * per]
+        manifest_path.write_text(json.dumps(manifest))
+        te = time.perf_counter()
+        r = ingest(lake, data / "log", cfg=cfg)
+        epoch_secs.append(round(time.perf_counter() - te, 2))
+        epoch_events.append(r["events_read"])
+    total = time.perf_counter() - t0
+    manifest["segments"] = all_segs
+    manifest_path.write_text(json.dumps(manifest))
+    print(json.dumps({
+        "metric": "endurance_events_per_sec",
+        "events": int(sum(epoch_events)),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "epochs": n_epochs,
+        "epoch_sec": epoch_secs,
+        "epoch_events": epoch_events,
+        "total_sec": round(total, 2),
+        "events_per_sec": round(sum(epoch_events) / total, 1),
+        "synth_sec": round(t_synth, 1),
+        "scratch": os.environ.get("GRAFT_TMP", "/tmp"),
+    }))
+    ray.shutdown()
+
+
 def _multinode_child() -> None:
     """Child process: build an n-node local Ray cluster (one raylet +
     object store per node — real inter-node object transfers over
@@ -402,6 +477,8 @@ if __name__ == "__main__":
         scaling()
     elif "--steady" in sys.argv:
         steady_state()
+    elif "--endurance" in sys.argv:
+        endurance()
     elif "--nodes" in sys.argv:
         nodes_scaling()
     elif "--nodes-child" in sys.argv:

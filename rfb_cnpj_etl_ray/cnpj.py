@@ -403,7 +403,7 @@ def _ensure_cnpj_lake(sf_dir: str):
     marker = root / "_LOADED"
     if not marker.exists():
         shutil.rmtree(root, ignore_errors=True)
-        zips = synth_cnpj_fixture(sf_dir, root / "zips")
+        zips = synth_cnpj_fixture_full(sf_dir, root / "zips")
         load_cnpj_files(zips, root / "lake",
                         cfg=EngineConfig(num_partitions=8))
         marker.write_text("ok")
@@ -529,5 +529,198 @@ CNPJ_PAIS_SQL = """
 SELECT lpad(CAST(n_nationkey AS VARCHAR),3,'0') AS doc_id,
        lpad(CAST(n_nationkey AS VARCHAR),3,'0') AS cod_pais,
        n_name AS nome_pais
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# full-registry fixture: the remaining 7 tables (simples, socio + 5 dims)
+# ---------------------------------------------------------------------------
+
+def synth_cnpj_fixture_full(sf_dir: str, out_dir) -> list[str]:
+    """All 11 registry tables: the three archives of
+    :func:`synth_cnpj_fixture` plus Simples (← orders: real calendar
+    dates through M4, all three NULL sentinels exercised), Socios (←
+    customer: composite doc_id key) and the five remaining dimension
+    archives (← part/region/nation)."""
+    import io
+    import zipfile
+    from pathlib import Path
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    paths = synth_cnpj_fixture(sf_dir, out)
+
+    def z(series, width):
+        return series.astype(str).str.zfill(width)
+
+    def write_zip(name: str, member: str, df: pd.DataFrame) -> str:
+        buf = io.StringIO()
+        df.to_csv(buf, sep=";", header=False, index=False, lineterminator="\n")
+        path = out / name
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr(member, buf.getvalue().encode("latin-1"))
+        return str(path)
+
+    # Simples ← orders (one row per order; real dates through M4)
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    k = orders["o_orderkey"]
+    simples = pd.DataFrame({
+        "cnpj_basico": z(k, 8),
+        "opcao_simples": pd.Series("N", index=k.index).mask(k % 2 == 1, "S"),
+        "data_opcao_simples": orders["o_orderdate"].dt.strftime("%Y%m%d"),
+        "data_exclusao_simples": pd.Series("20230401", index=k.index)
+            .mask(k % 5 == 0, "00000000"),   # sentinel → NULL
+        "opcao_mei": "N",
+        "data_opcao_mei": "0",               # '0' sentinel → NULL
+        "data_exclusao_mei": "",             # '' sentinel → NULL
+    })
+    paths.append(write_zip("Simples.zip", "SIMPLES", simples))
+
+    # Socios ← customer (composite doc_id: basico|ident|cpf|qualif)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    k = cust["c_custkey"]
+    n = cust["c_nationkey"].astype("int64")
+    socio = pd.DataFrame({
+        "cnpj_basico": z(k, 8),
+        "identificador_socio": (k % 3 + 1).astype(str),
+        "nome_socio": "SOCIO " + cust["c_name"],
+        "cnpj_cpf_socio": z(k, 11),
+        "cod_qualificacao_socio": z(k % 49 + 1, 2),
+        "data_entrada_sociedade": "20100705",
+        "cod_pais": z(n, 3),
+        "cpf_representante_legal": z(k % 1000, 11),
+        "nome_representante_legal": "",
+        "cod_qualificacao_representante_legal": "00",
+        "cod_faixa_etaria": (k % 9 + 1).astype(str),
+    })
+    paths.append(write_zip("Socios0.zip", "SOCIOCSV", socio))
+
+    # remaining dimensions
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    paths.append(write_zip("Cnaes.zip", "CNAECSV", pd.DataFrame({
+        "cod_cnae": z(part["p_partkey"], 7),
+        "nome_cnae": part["p_type"],
+    })))
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    paths.append(write_zip("Motivos.zip", "MOTICSV", pd.DataFrame({
+        "cod_motivo": z(region["r_regionkey"], 2),
+        "nome_motivo": region["r_name"],
+    })))
+    paths.append(write_zip("Naturezas.zip", "NATJUCSV", pd.DataFrame({
+        "cod_natureza": z(region["r_regionkey"], 4),
+        "nome_natureza": "NATUREZA " + region["r_name"],
+    })))
+    paths.append(write_zip("Qualificacoes.zip", "QUALSCSV", pd.DataFrame({
+        "cod_qualificacao": z(region["r_regionkey"], 2),
+        "nome_qualificacao": "QUALIF " + region["r_name"],
+    })))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    paths.append(write_zip("Municipios.zip", "MUNICCSV", pd.DataFrame({
+        "cod_municipio": z(nation["n_nationkey"].astype("int64"), 4),
+        "nome_municipio": "CIDADE " + nation["n_name"],
+    })))
+    return paths
+
+
+def _cnpj_table_query(table: str):
+    """Query factory: committed lake table contents (dates ISO-strung
+    for the engine-neutral value compare)."""
+    def q(sf_dir: str):
+        from rfb_cnpj_etl_ray.pipelines.ingest import read_lake
+
+        ds = read_lake(_ensure_cnpj_lake(sf_dir), table)
+        dates = DATE_COLUMNS.get(table)
+        return _dates_to_iso(ds, dates) if dates else ds
+
+    q.__name__ = f"cnpj_{table}_load"
+    return q
+
+
+cnpj_simples_load = _cnpj_table_query("simples")
+cnpj_socio_load = _cnpj_table_query("socio")
+cnpj_cnae_dim_load = _cnpj_table_query("cnae")
+cnpj_motivo_dim_load = _cnpj_table_query("motivo")
+cnpj_municipio_dim_load = _cnpj_table_query("municipio")
+cnpj_natureza_dim_load = _cnpj_table_query("natureza_juridica")
+cnpj_qualificacao_dim_load = _cnpj_table_query("qualificacao_socio")
+
+
+CNPJ_SIMPLES_SQL = """
+SELECT lpad(CAST(o_orderkey AS VARCHAR),8,'0') AS doc_id,
+       lpad(CAST(o_orderkey AS VARCHAR),8,'0') AS cnpj_basico,
+       CASE WHEN o_orderkey % 2 = 1 THEN 'S' ELSE 'N' END AS opcao_simples,
+       strftime(o_orderdate, '%Y-%m-%d') AS data_opcao_simples,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE '2023-04-01' END AS data_exclusao_simples,
+       'N' AS opcao_mei,
+       CAST(NULL AS VARCHAR) AS data_opcao_mei,
+       CAST(NULL AS VARCHAR) AS data_exclusao_mei
+FROM orders
+"""
+
+CNPJ_SOCIO_SQL = """
+SELECT lpad(CAST(c_custkey AS VARCHAR),8,'0') || '|'
+         || CAST(c_custkey % 3 + 1 AS VARCHAR) || '|'
+         || lpad(CAST(c_custkey AS VARCHAR),11,'0') || '|'
+         || lpad(CAST(c_custkey % 49 + 1 AS VARCHAR),2,'0') AS doc_id,
+       lpad(CAST(c_custkey AS VARCHAR),8,'0') AS cnpj_basico,
+       CAST(c_custkey % 3 + 1 AS VARCHAR) AS identificador_socio,
+       'SOCIO ' || c_name AS nome_socio,
+       lpad(CAST(c_custkey AS VARCHAR),11,'0') AS cnpj_cpf_socio,
+       lpad(CAST(c_custkey % 49 + 1 AS VARCHAR),2,'0')
+         AS cod_qualificacao_socio,
+       '2010-07-05' AS data_entrada_sociedade,
+       lpad(CAST(c_nationkey AS VARCHAR),3,'0') AS cod_pais,
+       lpad(CAST(c_custkey % 1000 AS VARCHAR),11,'0')
+         AS cpf_representante_legal,
+       '' AS nome_representante_legal,
+       '00' AS cod_qualificacao_representante_legal,
+       CAST(c_custkey % 9 + 1 AS VARCHAR) AS cod_faixa_etaria
+FROM customer
+"""
+
+CNPJ_CNAE_SQL = """
+SELECT lpad(CAST(p_partkey AS VARCHAR),7,'0') AS doc_id,
+       lpad(CAST(p_partkey AS VARCHAR),7,'0') AS cod_cnae,
+       p_type AS nome_cnae
+FROM part
+"""
+
+CNPJ_MOTIVO_SQL = """
+SELECT lpad(CAST(r_regionkey AS VARCHAR),2,'0') AS doc_id,
+       lpad(CAST(r_regionkey AS VARCHAR),2,'0') AS cod_motivo,
+       r_name AS nome_motivo
+FROM region
+"""
+
+CNPJ_NATUREZA_SQL = """
+SELECT lpad(CAST(r_regionkey AS VARCHAR),4,'0') AS doc_id,
+       lpad(CAST(r_regionkey AS VARCHAR),4,'0') AS cod_natureza,
+       'NATUREZA ' || r_name AS nome_natureza
+FROM region
+"""
+
+CNPJ_QUALIFICACAO_SQL = """
+SELECT lpad(CAST(r_regionkey AS VARCHAR),2,'0') AS doc_id,
+       lpad(CAST(r_regionkey AS VARCHAR),2,'0') AS cod_qualificacao,
+       'QUALIF ' || r_name AS nome_qualificacao
+FROM region
+"""
+
+CNPJ_MUNICIPIO_SQL = """
+SELECT lpad(CAST(n_nationkey AS VARCHAR),4,'0') AS doc_id,
+       lpad(CAST(n_nationkey AS VARCHAR),4,'0') AS cod_municipio,
+       'CIDADE ' || n_name AS nome_municipio
 FROM nation
 """

@@ -206,23 +206,41 @@ def synth_dataset_big(
     log_dir = root / "log"
     log_dir.mkdir(parents=True, exist_ok=True)
     per_seg = n_events // n_segments
-    segs = []
-    start = 10_000_000
-    for k in range(n_segments):
-        n = per_seg if k < n_segments - 1 else n_events - per_seg * (n_segments - 1)
+
+    def seg_plan(k: int) -> tuple[int, int]:
+        n = per_seg if k < n_segments - 1 else \
+            n_events - per_seg * (n_segments - 1)
+        return n, 10_000_000 + per_seg * k
+
+    def make_seg(k: int) -> dict:
+        n, start = seg_plan(k)
         ev = make_changelog(
             n, n_docs, seed=seed + 100 + k, start_lsn=start,
             min_len=min_len, max_len=max_len,
         )
-        start += n
         perm = np.random.default_rng(seed + 500 + k).permutation(n)
         ev = ev.take(pa.array(perm))
         name = f"seg-{k:05d}.parquet"
         pq.write_table(ev, log_dir / name, compression="zstd")
         lsns = ev.column("lsn").to_numpy()
-        segs.append({"name": name, "rows": n,
-                     "min_lsn": int(lsns.min()), "max_lsn": int(lsns.max()),
-                     "bytes": os.path.getsize(log_dir / name)})
+        return {"name": name, "rows": n,
+                "min_lsn": int(lsns.min()), "max_lsn": int(lsns.max()),
+                "bytes": os.path.getsize(log_dir / name)}
+
+    # segments are independent (own RNG substream, contiguous lsn range)
+    # → generate them as parallel Ray tasks when a session is up; the
+    # serial fallback keeps the function usable without Ray.
+    import ray as _ray
+
+    if _ray.is_initialized():
+        @_ray.remote(num_cpus=1)
+        def _gen(k: int) -> dict:
+            return make_seg(k)
+
+        segs = _ray.get([_gen.remote(k) for k in range(n_segments)])
+    else:
+        segs = [make_seg(k) for k in range(n_segments)]
+    segs.sort(key=lambda s: s["name"])
     tmp = log_dir / "manifest.json.tmp"
     tmp.write_text(json.dumps({"segments": segs}, indent=2))
     os.replace(tmp, log_dir / "manifest.json")

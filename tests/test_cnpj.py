@@ -13,11 +13,19 @@ from tests.util_compare import assert_query_matches
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(autouse=True)
-def _isolated_cache(tmp_path, monkeypatch):
-    # _ensure_cnpj_lake caches under GRAFT_TMP; isolate per test session
-    monkeypatch.setenv("GRAFT_TMP", str(tmp_path))
+@pytest.fixture(autouse=True, scope="module")
+def _isolated_cache(tmp_path_factory):
+    # _ensure_cnpj_lake caches under GRAFT_TMP; one shared lake for the
+    # whole module (the load runs once, every oracle check reuses it)
+    import os
+
+    prev = os.environ.get("GRAFT_TMP")
+    os.environ["GRAFT_TMP"] = str(tmp_path_factory.mktemp("cnpj_cache"))
     yield
+    if prev is None:
+        os.environ.pop("GRAFT_TMP", None)
+    else:
+        os.environ["GRAFT_TMP"] = prev
 
 
 def test_registry_covers_all_reference_tables():
@@ -54,15 +62,18 @@ def test_cnpj_pais_matches_oracle(ray_session):
     assert_query_matches(C.cnpj_pais_dim_load, C.CNPJ_PAIS_SQL, SF_DIR)
 
 
-def test_cnpj_incremental_update_after_load(ray_session, tmp_path):
+def test_cnpj_incremental_update_after_load(ray_session, tmp_path,
+                                            monkeypatch):
     """The loaded empresa table is a normal CDC table: a change segment
-    (capital update + delete) applies through the standard ingest path."""
+    (capital update + delete) applies through the standard ingest path.
+    (Own cache dir: this test mutates the lake.)"""
     import json
 
     import pyarrow.parquet as pq
 
     from rfb_cnpj_etl_ray.pipelines.ingest import ingest, read_lake_table
 
+    monkeypatch.setenv("GRAFT_TMP", str(tmp_path))
     lake = C._ensure_cnpj_lake(SF_DIR)
     before = read_lake_table(lake, "empresa")
     assert before.num_rows > 0
@@ -107,3 +118,20 @@ def test_load_refuses_overwrite_without_flag(ray_session, tmp_path):
     # explicit full reload (the reference's monthly drop-and-reload)
     C.load_cnpj_files(pais_zip, tmp_path / "lake",
                       cfg=EngineConfig(num_partitions=2), overwrite=True)
+
+
+@pytest.mark.parametrize("table,sql", [
+    ("simples", "CNPJ_SIMPLES_SQL"),
+    ("socio", "CNPJ_SOCIO_SQL"),
+    ("cnae", "CNPJ_CNAE_SQL"),
+    ("motivo", "CNPJ_MOTIVO_SQL"),
+    ("municipio", "CNPJ_MUNICIPIO_SQL"),
+    ("natureza_juridica", "CNPJ_NATUREZA_SQL"),
+    ("qualificacao_socio", "CNPJ_QUALIFICACAO_SQL"),
+])
+def test_cnpj_full_registry_matches_oracle(ray_session, table, sql):
+    """The remaining 7 registry tables, loaded from their own fixture
+    archives through the same routed pipeline, each against its oracle
+    (simples additionally exercises all three date NULL sentinels and
+    real calendar dates through M4)."""
+    assert_query_matches(C._cnpj_table_query(table), getattr(C, sql), SF_DIR)

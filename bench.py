@@ -215,7 +215,7 @@ def scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_QUERIES="0")
+                   GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_DISK="0")
         # bigger job for scaling runs: amortizes the per-pipeline serial
         # floor so the ratio measures the parallel fraction
         env.setdefault("GRAFT_BENCH_EVENTS", "16000000")
@@ -446,7 +446,7 @@ def nodes_scaling() -> None:
 
     def run(n_nodes: int) -> dict:
         env = dict(os.environ, GRAFT_NODES=str(n_nodes),
-                   GRAFT_BENCH_QUERIES="0")
+                   GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_DISK="0")
         env.setdefault("GRAFT_BENCH_EVENTS", "16000000")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--nodes-child"],

@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default="sequences")
     sp.add_argument("--min-delta-ratio", type=float, default=0.2)
 
+    sp = sub.add_parser("gc", help="delete snapshots superseded by newer commits")
+    sp.add_argument("lake")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--keep-commits", type=int, default=2)
+
     sp = sub.add_parser("export", help="export lake state through a sink")
     sp.add_argument("lake")
     sp.add_argument("out_dir")
@@ -180,6 +185,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(compact_deltas(
                 args.lake, args.table,
                 min_delta_ratio=args.min_delta_ratio)))
+        elif args.cmd == "gc":
+            from rfb_cnpj_etl_ray.pipelines.maintenance import gc_snapshots
+
+            print(json.dumps(gc_snapshots(args.lake, args.table,
+                                          keep_commits=args.keep_commits)))
         elif args.cmd == "export":
             from rfb_cnpj_etl_ray.sinks import export_lake
 

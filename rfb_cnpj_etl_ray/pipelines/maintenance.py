@@ -254,6 +254,54 @@ def repartition_lake(
             "partitions_written": len(staged)}
 
 
+def gc_snapshots(lake_dir: str | Path, table: str = "sequences",
+                 keep_commits: int = 2) -> dict:
+    """Delete partition files no longer referenced by the last
+    ``keep_commits`` commit records (plus leftover staging/tmp debris).
+    CoW epochs supersede whole snapshots, so without GC a long-running
+    table accumulates one full copy per epoch. Time-travel window =
+    ``keep_commits``; the commit log itself (tiny JSON) is never pruned.
+    Safe under the crash model: files referenced by ANY retained commit
+    are kept, and deletion runs strictly after the newest commit is
+    durable (it already is — this only reads the log)."""
+    import json as _json
+
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    commits = log.commits()
+    if not commits:
+        raise RuntimeError(f"no commits in {table_dir}")
+    keep = max(1, keep_commits)
+    referenced: set[str] = set()
+    for path in commits[-keep:]:
+        rec = _json.loads(path.read_text())
+        for v in rec["partitions"].values():
+            for f in [v.get("file")] + list(v.get("deltas", [])):
+                if f is not None:
+                    referenced.add(f)
+    removed, freed = 0, 0
+    for f in sorted(table_dir.glob("part=*/[de]*.parquet")):
+        rel = str(f.relative_to(table_dir))
+        if rel not in referenced:
+            freed += f.stat().st_size
+            f.unlink()
+            removed += 1
+    # stale temp files from crashed writers + abandoned staging epochs
+    # older than the newest commit
+    import shutil as _shutil
+
+    for t in table_dir.glob("part=*/*.tmp-*"):
+        freed += t.stat().st_size
+        t.unlink()
+        removed += 1
+    newest_epoch = log.latest_epoch()
+    for s in (table_dir / "_staging").glob("epoch-*"):
+        if int(s.name.split("-")[1]) <= newest_epoch:
+            _shutil.rmtree(s, ignore_errors=True)
+    return {"removed_files": removed, "freed_bytes": freed,
+            "kept_commits": keep}
+
+
 def compact_deltas(
     lake_dir: str | Path,
     table: str = "sequences",

@@ -334,3 +334,32 @@ def test_export_lake_through_registered_sinks(ray_session, tmp_path):
     assert r2["rows"] == expected.num_rows
     with pytest.raises(ValueError, match="unknown sink"):
         export_lake(lake, tmp_path / "nope", sink="mysql")
+
+
+def test_gc_snapshots_removes_superseded_epochs(ray_session, tmp_path):
+    import json as _json
+
+    from rfb_cnpj_etl_ray.pipelines.maintenance import gc_snapshots
+
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    # second epoch: a fresh segment → every touched partition gets a new
+    # snapshot; epoch-0/1 files become superseded
+    extra = make_changelog(200, 100, seed=77, max_len=16,
+                           start_lsn=50_000_000)
+    log2 = tmp_path / "log2"
+    write_changelog_segments(extra, log2, 1)
+    ingest(lake, log2, cfg=cfg)
+    before = read_lake_table(lake)
+    tdir = lake / "sequences"
+    n_files_before = len(list(tdir.glob("part=*/*.parquet")))
+
+    r = gc_snapshots(lake, keep_commits=1)
+    assert r["removed_files"] > 0 and r["freed_bytes"] > 0
+    n_files_after = len(list(tdir.glob("part=*/*.parquet")))
+    assert n_files_after < n_files_before
+    # state unchanged; every referenced file still present
+    assert_states_equal(before, read_lake_table(lake))
+    from rfb_cnpj_etl_ray.pipelines.maintenance import validate_lake as _vl
+    assert _vl(lake)["ok"]
+    # idempotent
+    assert gc_snapshots(lake, keep_commits=1)["removed_files"] == 0

@@ -401,12 +401,13 @@ def _ensure_cnpj_lake(sf_dir: str):
     root = (Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
             / f"cnpj_{Path(sf_dir).name}")
     marker = root / "_LOADED"
-    if not marker.exists():
+    want = ",".join(sorted(CNPJ_REGISTRY))  # stale caches rebuild
+    if not marker.exists() or marker.read_text() != want:
         shutil.rmtree(root, ignore_errors=True)
         zips = synth_cnpj_fixture_full(sf_dir, root / "zips")
         load_cnpj_files(zips, root / "lake",
                         cfg=EngineConfig(num_partitions=8))
-        marker.write_text("ok")
+        marker.write_text(want)
     return root / "lake"
 
 

@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
         "minhash_lsh_candidates": D.minhash_lsh_candidates,
+        "minhash_dedup_groups": D.minhash_dedup_groups,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_near_dup": D.embedding_near_dup,
         "ann_topk": S.ann_topk,

@@ -53,6 +53,12 @@ QUERY_NAMES = [
     "exact_dedup",
     "ann_topk",
     "multimodal_features",
+    # round-2 additions (keyed-exchange vectorized group ops)
+    "parts_per_order",
+    "lagged_events",
+    "minhash_lsh_candidates",
+    "minhash_dedup_groups",
+    "pack_sequences",
 ]
 
 

@@ -209,8 +209,7 @@ def minhash_lsh_candidates(sf_dir: str):
     )
 
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64")})
+        empty = pd.DataFrame({"pair": pd.Series([], dtype="int64")})
         if df.empty:
             return empty
         df = df.drop_duplicates(["band", "band_hash", "doc_id"])
@@ -232,20 +231,84 @@ def minhash_lsh_candidates(sf_dir: str):
         b_idx = _seg_ranges(np.arange(n, dtype=np.int64) + 1, m)
         if not len(a_idx):
             return empty
-        return pd.DataFrame(
-            {"doc_a": ids[a_idx], "doc_b": ids[b_idx]}
-        ).drop_duplicates()
+        # pack (doc_a, doc_b) into ONE int64: half the shuffle bytes and
+        # dedup becomes a single np.unique — the pair volume is quadratic
+        # in duplicate-cluster size, so this path is the hot one
+        if ids.max() >= (1 << 31):
+            raise ValueError(
+                "minhash pair packing assumes doc_id < 2^31; remap ids "
+                "or widen the pack to two columns for larger key spaces"
+            )
+        packed = (ids[a_idx].astype(np.int64) << 32) | ids[b_idx]
+        return pd.DataFrame({"pair": np.unique(packed)})
 
     pairs = repartition_by_key(ds, ["band", "band_hash"]).map_batches(
         block_pairs, batch_format="pandas", batch_size=None
     )
-    # global dedup of pairs found by multiple bands: a (doc_a, doc_b)
-    # appears only within one block after the keyed exchange, so one
-    # vectorized drop_duplicates per block finishes it
-    return repartition_by_key(pairs, ["doc_a", "doc_b"]).map_batches(
-        lambda df: df.drop_duplicates(), batch_format="pandas",
-        batch_size=None,
+
+    def unpack_block(df: pd.DataFrame) -> pd.DataFrame:
+        # a packed pair lands wholly in one block after the keyed
+        # exchange → one np.unique per block finishes the global dedup
+        p = np.unique(df["pair"].to_numpy())
+        return pd.DataFrame({"doc_a": p >> 32,
+                             "doc_b": p & 0xFFFFFFFF})
+
+    return repartition_by_key(pairs, ["pair"]).map_batches(
+        unpack_block, batch_format="pandas", batch_size=None
     )
+
+
+def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
+    """The LINEAR scale path for near-dup dedup: instead of enumerating
+    all candidate pairs (quadratic in duplicate-cluster size — a 1M-doc
+    duplicate cluster at 100 TB makes ``minhash_lsh_candidates``
+    intractable), assign every doc the MIN doc_id of each LSH bucket it
+    shares, then iterate min-propagation through the buckets ``rounds``
+    times (label propagation / pointer-jumping over the doc–bucket
+    bipartite graph; each round is one keyed exchange + one vectorized
+    min per block). Output (doc_id, group_id): docs in the same connected
+    LSH component converge to the component's min doc_id — keep one row
+    per group_id to dedup. Volume per round is O(docs × bands), never
+    O(pairs). rows-only oracle; invariants tested."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(
+        lambda df: df.assign(label=df["doc_id"]), batch_format="pandas"
+    )
+
+    def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
+        # per (band, band_hash) bucket: everyone adopts the bucket's min
+        # current label (buckets are whole within a block after the
+        # keyed exchange)
+        df["label"] = df.groupby(["band", "band_hash"], sort=False)[
+            "label"].transform("min")
+        return df
+
+    def doc_min(df: pd.DataFrame) -> pd.DataFrame:
+        df["label"] = df.groupby("doc_id", sort=False)["label"].transform(
+            "min")
+        return df
+
+    for _ in range(rounds):
+        ds = repartition_by_key(ds, ["band", "band_hash"]).map_batches(
+            bucket_min, batch_format="pandas", batch_size=None
+        )
+        ds = repartition_by_key(ds, ["doc_id"]).map_batches(
+            doc_min, batch_format="pandas", batch_size=None
+        )
+        # barrier per round: each hash-shuffle operator holds an actor
+        # pool for the whole plan, so chaining 2×rounds of them in ONE
+        # lazy plan can starve small clusters of CPU slots (observed
+        # deadlock at 4 CPUs); the intermediate is O(docs × bands).
+        ds = ds.materialize()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False)["label"].min()
+        return out.rename(columns={"label": "group_id"})
+
+    return ds.map_batches(finalize, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

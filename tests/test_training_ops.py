@@ -161,3 +161,23 @@ def test_wav_decode_real_codec(ray_session):
     assert (df["n_frames"] == 400).all()
     assert (df["duration_ms"] == 50).all()
     assert df["rms"].between(10500, 11700).all()
+
+
+def test_minhash_dedup_groups_linear_path(ray_session):
+    """The linear-scale near-dup operator: labels are component minima —
+    every LSH candidate pair must share a group after min-propagation
+    (bucket-bipartite diameter at SF_DIR is well within 3 rounds)."""
+    groups = to_pandas(D.minhash_dedup_groups(SF_DIR))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(groups) == len(docs)
+    assert (groups["group_id"] <= groups["doc_id"]).all()
+    label = dict(zip(groups["doc_id"], groups["group_id"]))
+    pairs = to_pandas(D.minhash_lsh_candidates(SF_DIR))
+    same = (pairs["doc_a"].map(label).to_numpy()
+            == pairs["doc_b"].map(label).to_numpy())
+    assert same.mean() >= 0.99
+    # determinism
+    again = to_pandas(D.minhash_dedup_groups(SF_DIR))
+    pd.testing.assert_frame_equal(
+        groups.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))

@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_per_order": R.parts_per_order,
         "top_orders": R.top_orders,
         "hourly_user_activity": R.hourly_user_activity,
+        "sliding_user_activity": R.sliding_user_activity,
+        "top_orders_per_customer": R.top_orders_per_customer,
         "lagged_events": R.lagged_events,
         "running_user_totals": R.running_user_totals,
         "asof_join_last_purchase": R.asof_join_last_purchase,
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_per_order": R.PARTS_PER_ORDER_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "hourly_user_activity": R.HOURLY_USER_ACTIVITY_SQL,
+        "sliding_user_activity": R.SLIDING_USER_ACTIVITY_SQL,
+        "top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
         "lagged_events": R.LAGGED_EVENTS_SQL,
         "running_user_totals": R.RUNNING_USER_TOTALS_SQL,
         "asof_join_last_purchase": R.ASOF_JOIN_LAST_PURCHASE_SQL,

@@ -649,3 +649,103 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
   ON l.user_id = r.user_id AND r.ts < l.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) event-time window — the overlapping-window variant of
+# hourly_user_activity (SURVEY §2.6 streaming shapes)
+# ---------------------------------------------------------------------------
+
+_SLIDE_HOURS = 3  # window length; hop = 1h → each event lands in 3 windows
+
+
+def sliding_user_activity(sf_dir: str):
+    """3-hour windows hopping hourly, per user: each event vectorized-
+    explodes into its 3 covering windows (window_start = floor(ts) - k·1h)
+    then the usual partial-agg → keyed Sum. Overlap factor is the only
+    cost over tumbling; no watermark needed for counts/sums."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # integer-cent sums: partial sums are exact and engine-neutral
+        # (values are 2-decimal; summation order can never flip a round)
+        cents = pc.cast(pc.round(
+            pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        tbls = []
+        for k in range(_SLIDE_HOURS):
+            start = pc.subtract(
+                hour, pa.scalar(k * 3_600_000_000, pa.duration("us")))
+            tbls.append(pa.table({
+                "user_id": batch.column("user_id"),
+                "window_start": start,
+                "cents": cents,
+            }))
+        out = pa.concat_tables(tbls)
+        df = out.to_pandas()
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(explode_windows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "window_start": t.column("window_start"),
+            "n_events": t.column("n_events"),
+            "sum_cents": t.column("sum_cents"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SLIDING_USER_ACTIVITY_SQL = f"""
+SELECT user_id,
+       date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events, unnest([0, 1, 2]) AS t(k)
+GROUP BY user_id, date_trunc('hour', ts) - INTERVAL (k) HOUR
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (rank window) — keyed exchange + per-block vectorized head
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_CUST = 2
+
+
+def top_orders_per_customer(sf_dir: str):
+    """Each customer's top-2 orders by price (ties → lower orderkey) —
+    the ROW_NUMBER()-per-partition window as one keyed exchange + a
+    block-wide sort + groupby.head: no per-customer Python dispatch."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("o_custkey", sort=False).head(_TOPK_PER_CUST)
+
+    return repartition_by_key(ds, ["o_custkey"]).map_batches(
+        topk_block, batch_format="pandas", batch_size=None
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) rn
+  FROM orders
+) WHERE rn <= {_TOPK_PER_CUST}
+"""

@@ -56,3 +56,13 @@ def test_bloom_anti_join_matches_oracle(ray_session):
     )
     assert_query_matches(customers_without_orders_bloom,
                          CUSTOMERS_WITHOUT_ORDERS_SQL, SF_DIR)
+
+
+def test_sliding_user_activity_matches_oracle(ray_session):
+    assert_query_matches(R.sliding_user_activity,
+                         R.SLIDING_USER_ACTIVITY_SQL, SF_DIR)
+
+
+def test_top_orders_per_customer_matches_oracle(ray_session):
+    assert_query_matches(R.top_orders_per_customer,
+                         R.TOP_ORDERS_PER_CUSTOMER_SQL, SF_DIR)

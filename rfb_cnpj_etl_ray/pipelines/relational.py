@@ -504,13 +504,17 @@ def hourly_user_activity(sf_dir: str):
 
     def bucket(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # integer-cent sums: exact partials, engine-neutral (no
+        # summation-order ROUND boundary flips at high group counts)
+        cents = pc.cast(pc.round(
+            pc.multiply(batch.column("value"), 100.0)), pa.int64())
         out = pa.table(
             {"user_id": batch.column("user_id"), "hour": hour,
-             "value": batch.column("value")}
+             "cents": cents}
         )
         df = out.to_pandas()
         g = df.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("cents", "size"), sum_cents=("cents", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -519,7 +523,7 @@ def hourly_user_activity(sf_dir: str):
 
     out = partials.groupby(["user_id", "hour"]).aggregate(
         Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+        Sum("sum_cents", alias_name="sum_cents"),
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -527,7 +531,7 @@ def hourly_user_activity(sf_dir: str):
                 "user_id": t.column("user_id"),
                 "hour": t.column("hour"),
                 "n_events": t.column("n_events"),
-                "sum_value": pc.round(t.column("sum_value"), 2),
+                "sum_cents": t.column("sum_cents"),
             }
         ),
         batch_format="pyarrow",
@@ -536,7 +540,8 @@ def hourly_user_activity(sf_dir: str):
 
 HOURLY_USER_ACTIVITY_SQL = """
 SELECT user_id, date_trunc('hour', ts) AS hour,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 

@@ -194,9 +194,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
+        "simhash_fingerprints": D.SIMHASH_FINGERPRINTS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         # omitted on purpose (approximate / hash-based / binary-container →
         # rows-only): cdc_ingest_final_state, minhash_lsh_candidates,
-        # simhash_fingerprints, ann_ivf_topk, multimodal_wav_decode
+        # minhash_dedup_groups, ann_ivf_topk, multimodal_wav_decode
     }

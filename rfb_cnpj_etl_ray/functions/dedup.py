@@ -315,13 +315,42 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 
+_SH_BASES = (131, 137)   # two polynomial hashes → 2 × 31 = 62 vote bits
+_SH_PRIME = 2147483647
+_SH_BITS = 31
+
+
+def _word_poly_hashes(flat_words: np.ndarray, base: int) -> np.ndarray:
+    """Polynomial hash (mod 2^31-1) of every word in an object array —
+    one flat byte buffer + end-aligned powers + add.reduceat; identical
+    to the SQL fold ``(a*base + ord(char)) % p`` over code points."""
+    if flat_words.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    enc = [w.encode("utf-8") for w in flat_words]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    maxlen = int(lens.max())
+    powers = np.empty(max(maxlen, 1), dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, maxlen):
+        powers[i] = (powers[i - 1] * base) % _SH_PRIME
+    offsets = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    ends = offsets + lens
+    exp = np.repeat(ends, lens) - 1 - np.arange(len(arr))
+    terms = (arr * powers[exp]) % _SH_PRIME
+    return np.add.reduceat(terms, np.minimum(offsets, max(len(terms) - 1, 0))
+                           ) % _SH_PRIME
+
+
 def simhash_fingerprints(sf_dir: str):
-    """64-bit SimHash per doc: each *distinct* word's hash votes per bit,
-    sign → bit. Set-based (not frequency-weighted) so fingerprints align
-    with set-Jaccard similarity: docs with near-identical word sets get
-    near-identical fingerprints regardless of word frequencies.
-    Vectorized: unpack word hashes to a bit matrix, per-doc sums via
-    ``np.add.reduceat``. rows-only oracle."""
+    """62-bit SimHash per doc: each *distinct* word votes on every bit of
+    its two polynomial hashes (mod 2^31-1, bases 131/137); majority sign
+    → bit. Set-based (not frequency-weighted) so fingerprints align with
+    set-Jaccard similarity. Vectorized: per-doc vote sums via
+    ``np.add.reduceat`` over the unpacked bit matrix. Hashes are
+    deliberately SQL-reproducible (same Horner fold as ``fingerprints``),
+    so the DuckDB oracle rebuilds the identical fingerprints."""
 
     def simhash(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].str.lower().str.findall(WS_RE).map(
@@ -330,27 +359,67 @@ def simhash_fingerprints(sf_dir: str):
         counts = words.str.len().to_numpy(dtype=np.int64)
         flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
             if counts.sum() else np.array([], dtype=object)
-        hashes = pd.util.hash_array(flat, categorize=False)
-        bits = np.unpackbits(
-            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)  # (n_words, 64)
-        votes = 2 * bits - 1
         offsets = np.zeros(len(batch), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        fps = np.zeros(len(batch), dtype=np.uint64)
         nonempty = counts > 0
-        if hashes.size:
+        fps = np.zeros(len(batch), dtype=np.int64)
+        for which, base in enumerate(_SH_BASES):
+            hashes = _word_poly_hashes(flat, base)
+            if not hashes.size:
+                continue
+            shifts = np.arange(_SH_BITS, dtype=np.int64)
+            bits = ((hashes[:, None] >> shifts) & 1).astype(np.int32)
+            votes = 2 * bits - 1
             sums = np.add.reduceat(votes, offsets[nonempty], axis=0)
-            sign_bits = (sums > 0).astype(np.uint8)
-            packed = np.packbits(sign_bits, axis=1, bitorder="little")
-            fps[nonempty] = packed.copy().view(np.uint64).ravel()
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "simhash": fps.astype("int64")}
-        )
+            sign = (sums > 0).astype(np.int64)
+            vals = (sign << (shifts + which * _SH_BITS)).sum(axis=1)
+            fps[nonempty] |= vals
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": fps})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         simhash, batch_format="pandas"
     )
+
+
+def _simhash_sql() -> str:
+    word_hash = {
+        base: (
+            "list_transform(ws, w -> list_reduce(list_prepend("
+            "CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), "
+            "i -> CAST(ord(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+            f"(a, b) -> (a * {base} + b) % {_SH_PRIME}))"
+        )
+        for base in _SH_BASES
+    }
+    bit_terms = []
+    for which, base in enumerate(_SH_BASES):
+        hs = f"h{which}"
+        for b in range(_SH_BITS):
+            shift = b + which * _SH_BITS
+            bit_terms.append(
+                f"CASE WHEN 2 * len(list_filter({hs}, "
+                f"h -> (h >> {b}) & 1 = 1)) > len({hs}) "
+                f"THEN CAST({1 << shift} AS BIGINT) ELSE 0 END"
+            )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         {word_hash[_SH_BASES[0]]} AS h0,
+         {word_hash[_SH_BASES[1]]} AS h1
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN len(h0) = 0 THEN 0 ELSE {' + '.join(bit_terms)} END
+         AS simhash
+FROM h
+"""
+
+
+SIMHASH_FINGERPRINTS_SQL = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------

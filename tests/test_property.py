@@ -99,3 +99,28 @@ def test_cli_new_commands(ray_session, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert json.loads(out[-1])["partitions"] >= 1
     assert (tmp_path / "out" / "_manifest.json").exists()
+
+
+@pytest.mark.parametrize("seed,salt,mode", [
+    (611, 4, "cow"),
+    (622, 3, "delta"),
+    (633, 8, "cow"),   # salt > docs-per-partition edge
+])
+def test_random_stream_salted_staged_matches_oracle(
+    ray_session, tmp_path, seed, salt, mode,
+):
+    """The salted two-stage staged merge under randomized streams (hot
+    single-key + delete-heavy mixes) must equal the oracle exactly."""
+    n_docs, n_events = 30, 1200
+    base = make_base(n_docs, seed=seed, max_len=24)
+    events = make_changelog(
+        n_events, n_docs, seed=seed + 1, op_mix=(0.3, 0.4, 0.3),
+        zipf_a=1.05, max_len=24,
+    )
+    log_dir = tmp_path / "log"
+    write_changelog_segments(events, log_dir, 3, shuffle_seed=seed + 2)
+    lake = tmp_path / "lake"
+    cfg = EngineConfig(num_partitions=4, salt_factor=salt, write_mode=mode)
+    init_lake(lake, SPEC, base=base, num_partitions=4)
+    ingest(lake, log_dir, cfg=cfg)
+    assert_states_equal(replay(base, events), read_lake_table(lake))

@@ -195,9 +195,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
         "simhash_fingerprints": D.SIMHASH_FINGERPRINTS_SQL,
+        "minhash_lsh_candidates": D.MINHASH_LSH_CANDIDATES_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
-        # omitted on purpose (approximate / hash-based / binary-container →
-        # rows-only): cdc_ingest_final_state, minhash_lsh_candidates,
-        # minhash_dedup_groups, ann_ivf_topk, multimodal_wav_decode
+        # omitted on purpose (stateful / approximate / binary-container →
+        # rows-only): cdc_ingest_final_state, minhash_dedup_groups,
+        # ann_ivf_topk, multimodal_wav_decode
     }

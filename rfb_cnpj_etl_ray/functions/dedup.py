@@ -131,57 +131,71 @@ WHERE len(list_intersect(a.ws, b.ws)) * 1.0
 
 NUM_HASHES = 64
 NUM_BANDS = 16  # 16 bands × 4 rows
-_MERSENNE = np.uint64((1 << 61) - 1)
+_MH_PRIME = 2147483647  # 2^31-1: a·h + b stays BIGINT-exact in SQL too
+_MH_BASE = 131
+_MH_SEED = 1234
+
+
+def _mh_perms(num_hashes: int = NUM_HASHES, seed: int = _MH_SEED):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MH_PRIME, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MH_PRIME, num_hashes, dtype=np.int64)
+    return a, b
 
 
 class MinHasher:
-    """Per-batch MinHash signatures, vectorized: hash every word of the
-    batch once (SipHash over a flat buffer), then for each of the 64
-    hash functions (a_i·x + b_i mod 2^61-1) take per-doc minima with
-    ``np.minimum.reduceat`` — no per-row Python."""
+    """Per-batch MinHash signatures, vectorized: polynomial-hash every
+    word of the batch once (flat buffer + reduceat; the same
+    SQL-reproducible fold ``fingerprints`` uses), then for each of the 64
+    permutations (a_i·h + b_i mod 2^31-1 — BIGINT-exact on both engines)
+    take per-doc minima with ``np.minimum.reduceat``. Band bucket key =
+    the band's 4 signature values joined as text (exact tuples, no
+    second hash), so a DuckDB oracle reconstructs identical buckets."""
 
-    def __init__(self, num_hashes: int = NUM_HASHES, seed: int = 1234):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+    def __init__(self, num_hashes: int = NUM_HASHES, seed: int = _MH_SEED):
+        self.a, self.b = _mh_perms(num_hashes, seed)
         self.num_hashes = num_hashes
 
-    def signatures(self, texts: pd.Series) -> np.ndarray:
+    def signatures(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         words = texts.str.lower().str.findall(WS_RE)
         counts = words.str.len().to_numpy(dtype=np.int64)
         flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
             if counts.sum() else np.array([], dtype=object)
-        base = pd.util.hash_array(flat, categorize=False)  # uint64 per word
-        sigs = np.full((len(texts), self.num_hashes), np.iinfo(np.uint64).max,
-                       dtype=np.uint64)
+        base = _word_poly_hashes(flat, _MH_BASE)
+        sigs = np.full((len(texts), self.num_hashes), _MH_PRIME,
+                       dtype=np.int64)
         nonempty = counts > 0
         if base.size:
             offsets = np.zeros(len(texts), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
             starts = offsets[nonempty]
             for h in range(self.num_hashes):
-                vals = (self.a[h] * base + self.b[h]) % _MERSENNE
+                vals = (self.a[h] * base + self.b[h]) % _MH_PRIME
                 mins = np.minimum.reduceat(vals, starts)
                 sigs[nonempty, h] = mins
-        return sigs
+        return sigs, nonempty
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = self.signatures(batch["text"])
+        sigs, nonempty = self.signatures(batch["text"])
+        # wordless docs have no signature (SQL's min-over-empty is NULL):
+        # drop them from banding on both engines
+        sigs = sigs[nonempty]
+        doc_ids = batch["doc_id"].to_numpy()[nonempty]
         rows_per_band = self.num_hashes // NUM_BANDS
-        out = {
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), NUM_BANDS),
-            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), len(batch)),
-        }
-        # band hash = SipHash of the band's signature bytes, vectorized by
-        # hashing tuples packed into fixed-width byte strings
-        band_views = sigs.reshape(len(batch), NUM_BANDS, rows_per_band)
-        packed = band_views.astype("<u8").tobytes()
-        width = rows_per_band * 8
-        byte_rows = np.frombuffer(packed, dtype=f"S{width}")
-        out["band_hash"] = pd.util.hash_array(
-            byte_rows.astype(object), categorize=False
-        ).astype("int64")
-        return pd.DataFrame(out)
+        strs = sigs.astype("U10")
+        band_keys = []
+        for k in range(NUM_BANDS):
+            key = strs[:, 4 * k]
+            for j in range(1, rows_per_band):
+                key = np.char.add(np.char.add(key, ","),
+                                  strs[:, 4 * k + j])
+            band_keys.append(key)
+        return pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, NUM_BANDS),
+            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32),
+                            len(doc_ids)),
+            "band_key": np.stack(band_keys, axis=1).ravel(),
+        })
 
 
 def _seg_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -196,12 +210,14 @@ def _seg_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-duplicate pairs via MinHash-LSH: signature →
-    (band, band_hash, doc_id) explode → keyed hash exchange on the bucket
+    (band, band_key, doc_id) explode → keyed hash exchange on the bucket
     key → per-BLOCK vectorized pair construction (run boundaries + a
     numpy segment-range expansion — no Python call per bucket) → second
     keyed exchange + block-local drop_duplicates for the global pair
-    dedup. Probabilistic recall (by design); verify candidates with exact
-    Jaccard downstream. rows-only oracle."""
+    dedup. Probabilistic recall (by design); verify candidates with
+    exact Jaccard downstream. The permutations and word hashes are
+    BIGINT-exact, so a DuckDB oracle reconstructs the IDENTICAL
+    candidate set (MINHASH_LSH_CANDIDATES_SQL)."""
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -212,11 +228,11 @@ def minhash_lsh_candidates(sf_dir: str):
         empty = pd.DataFrame({"pair": pd.Series([], dtype="int64")})
         if df.empty:
             return empty
-        df = df.drop_duplicates(["band", "band_hash", "doc_id"])
-        df = df.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+        df = df.drop_duplicates(["band", "band_key", "doc_id"])
+        df = df.sort_values(["band", "band_key", "doc_id"], kind="stable")
         n = len(df)
         band = df["band"].to_numpy()
-        bh = df["band_hash"].to_numpy()
+        bh = df["band_key"].to_numpy()
         new = np.empty(n, dtype=bool)
         new[0] = True
         new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
@@ -242,7 +258,7 @@ def minhash_lsh_candidates(sf_dir: str):
         packed = (ids[a_idx].astype(np.int64) << 32) | ids[b_idx]
         return pd.DataFrame({"pair": np.unique(packed)})
 
-    pairs = repartition_by_key(ds, ["band", "band_hash"]).map_batches(
+    pairs = repartition_by_key(ds, ["band", "band_key"]).map_batches(
         block_pairs, batch_format="pandas", batch_size=None
     )
 
@@ -256,6 +272,41 @@ def minhash_lsh_candidates(sf_dir: str):
     return repartition_by_key(pairs, ["pair"]).map_batches(
         unpack_block, batch_format="pandas", batch_size=None
     )
+
+
+def _minhash_sql() -> str:
+    a, b = _mh_perms()
+    word_hash = (
+        "list_transform(regexp_extract_all(lower(text), '\\S+'), "
+        "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(w) + 1), "
+        "i -> CAST(ord(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+        f"(x, y) -> (x * {_MH_BASE} + y) % {_MH_PRIME}))"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({int(a[i])} * h + {int(b[i])})"
+        f" % {_MH_PRIME}))"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH wh AS (
+  SELECT doc_id, {word_hash} AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{mins}] AS s FROM wh WHERE len(hs) > 0
+), bands AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS band,
+         CAST(s[4*k+1] AS VARCHAR) || ',' || CAST(s[4*k+2] AS VARCHAR)
+           || ',' || CAST(s[4*k+3] AS VARCHAR) || ','
+           || CAST(s[4*k+4] AS VARCHAR) AS bkey
+  FROM sigs, unnest(range({NUM_BANDS})) AS t(k)
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+"""
+
+
+MINHASH_LSH_CANDIDATES_SQL = _minhash_sql()
 
 
 def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
@@ -279,10 +330,10 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
     )
 
     def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
-        # per (band, band_hash) bucket: everyone adopts the bucket's min
+        # per (band, band_key) bucket: everyone adopts the bucket's min
         # current label (buckets are whole within a block after the
         # keyed exchange)
-        df["label"] = df.groupby(["band", "band_hash"], sort=False)[
+        df["label"] = df.groupby(["band", "band_key"], sort=False)[
             "label"].transform("min")
         return df
 
@@ -292,7 +343,7 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
         return df
 
     for _ in range(rounds):
-        ds = repartition_by_key(ds, ["band", "band_hash"]).map_batches(
+        ds = repartition_by_key(ds, ["band", "band_key"]).map_batches(
             bucket_min, batch_format="pandas", batch_size=None
         )
         ds = repartition_by_key(ds, ["doc_id"]).map_batches(

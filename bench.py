@@ -145,19 +145,28 @@ def run_headline() -> dict:
 
 
 def run_queries() -> dict[str, float]:
+    """Per-operator timings: best-of-2 (shared-VM noise is ±30% on
+    single shots) except the two minhash entries, whose volume-bound
+    runtimes are long enough to be stable single-shot."""
     import __ray_entry__ as E
 
     q = E.queries()
     out = {}
     for name in QUERY_NAMES:
-        t0 = time.perf_counter()
-        res = q[name](SF_DIR)
-        # force full execution
-        import ray.data
+        repeats = 1 if name.startswith("minhash") else \
+            int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "2"))
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = q[name](SF_DIR)
+            # force full execution
+            import ray.data
 
-        if isinstance(res, ray.data.Dataset):
-            res.materialize()
-        out[name] = round(time.perf_counter() - t0, 3)
+            if isinstance(res, ray.data.Dataset):
+                res.materialize()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        out[name] = round(best, 3)
     return out
 
 

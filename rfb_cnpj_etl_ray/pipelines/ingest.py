@@ -359,6 +359,8 @@ def tail(
     poll_interval: float = 1.0,
     idle_rounds_to_stop: int = 3,
     max_rounds: int | None = None,
+    remote_log_dir: str | Path | None = None,
+    transport=None,
 ) -> dict:
     """Continuous WAL-tail mode: poll the segment manifest, ingest
     whatever is new, repeat — the streaming face of the same exactly-once
@@ -375,6 +377,19 @@ def tail(
     total_events = 0
     while True:
         rounds += 1
+        if remote_log_dir is not None:
+            # S3/S4 live: mirror the remote log first (resume-capable
+            # fetch — a dropped transfer continues from its .part
+            # offset next round; already-final segments no-op)
+            from rfb_cnpj_etl_ray.sources.fetcher import (
+                fetch_manifest_segments,
+            )
+
+            try:
+                fetch_manifest_segments(remote_log_dir, log_dir,
+                                        transport=transport)
+            except FileNotFoundError:
+                pass  # remote manifest not published yet
         try:
             report = ingest(lake_dir, log_dir, table=table, cfg=cfg)
         except FileNotFoundError:

@@ -110,3 +110,25 @@ def test_duplicate_task_execution_is_harmless(ray_session, tmp_path):
         "segments": ["manual"], "parent": 0, "metrics": {},
     })
     assert_states_equal(replay(base, events), read_lake_table(lake))
+
+
+def test_tail_remote_mirrors_then_ingests(ray_session, tmp_path):
+    """tail(remote_log_dir=...) fetches the remote change-log (with a
+    mid-transfer fault on the wire) each round before replaying — the
+    full S3/S4 live story: remote WAL → resumable mirror → atomic epoch."""
+    from rfb_cnpj_etl_ray.sources.fetcher import FlakyTransport
+
+    base = make_base(120, seed=90, max_len=16)
+    events = make_changelog(900, 120, seed=91, max_len=16)
+    remote_log = tmp_path / "remote_log"
+    write_changelog_segments(events, remote_log, n_segments=3)
+    lake = tmp_path / "lake"
+    init_lake(lake, SPEC, base=base, num_partitions=4)
+    t = FlakyTransport(str(remote_log), fail_after=40_000, fail_times=1)
+    report = tail(
+        lake, tmp_path / "local_log", cfg=EngineConfig(num_partitions=4),
+        poll_interval=0.1, idle_rounds_to_stop=2,
+        remote_log_dir=remote_log, transport=t,
+    )
+    assert report["events_applied"] == 900
+    assert_states_equal(replay(base, events), read_lake_table(lake))

@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default="sequences")
     sp.add_argument("--poll-interval", type=float, default=2.0)
     sp.add_argument("--idle-rounds", type=int, default=5)
+    sp.add_argument("--remote-log-dir", default=None,
+                    help="mirror this remote log (resumable fetch) each round")
 
     sp = sub.add_parser("compact-deltas",
                         help="size-tiered delta fold (no GC spike)")
@@ -178,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(tail(
                 args.lake, args.log_dir, table=args.table,
                 poll_interval=args.poll_interval,
-                idle_rounds_to_stop=args.idle_rounds)))
+                idle_rounds_to_stop=args.idle_rounds,
+                remote_log_dir=args.remote_log_dir)))
         elif args.cmd == "compact-deltas":
             from rfb_cnpj_etl_ray.pipelines.maintenance import compact_deltas
 

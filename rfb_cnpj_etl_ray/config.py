@@ -54,10 +54,14 @@ class EngineConfig:
     write_mode: str = "cow"
 
     # --- skew handling ----------------------------------------------------
-    #: two-stage salted merge: stage 1 reduces per (partition, salt) groups,
-    #: stage 2 re-merges per partition. 1 = disabled. Only useful when a
-    #: single partition's event group exceeds worker memory; the per-batch
-    #: partial LWW reduce already collapses hot keys to ≤1 row per block.
+    #: two-stage salted merge on BOTH shuffle paths. staged: phase-1
+    #: writes per-(partition, doc-hash-salt) chunk buckets, phase-2a
+    #: folds each bucket in parallel, phase-2b merges (a pathologically
+    #: hot partition's fold spreads over salt_factor tasks). groupby:
+    #: lsn-salted (partition, salt) pre-reduce then per-partition merge.
+    #: 1 = disabled. Only useful when a single partition's event group
+    #: exceeds a worker; the per-batch partial LWW reduce already
+    #: collapses hot KEYS to ≤1 row per block.
     salt_factor: int = 1
 
     # --- merge stage sizing ----------------------------------------------

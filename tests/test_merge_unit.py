@@ -93,3 +93,63 @@ def test_strip_internal_drops_tombstones():
     out = strip_internal(t)
     assert out.column("doc_id").to_pylist() == ["a"]
     assert out.schema.names == PAYLOAD_SCHEMA.names
+
+
+# --- algebraic laws of the LWW fold (hypothesis) ---------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _events_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),     # key index
+            st.integers(min_value=1, max_value=50),    # lsn
+            st.booleans(),                             # deleted
+        ),
+        min_size=0, max_size=40,
+    )
+
+    def _mk(rows):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": pa.array([f"doc{k:02d}" for k, _, _ in rows],
+                               pa.string()),
+            "_lsn": pa.array([l for _, l, _ in rows], pa.int64()),
+            "_deleted": pa.array([d for _, _, d in rows], pa.bool_()),
+        })
+
+    def _canon(t):
+        return sorted(map(tuple, zip(
+            t["doc_id"].to_pylist(), t["_lsn"].to_pylist(),
+            t["_deleted"].to_pylist())))
+
+    @settings(max_examples=60, deadline=None)
+    @given(_events_strategy, _events_strategy)
+    def test_lww_reduce_is_associative_and_idempotent(a_rows, b_rows):
+        """The exactly-once guarantee rests on these laws: folding any
+        split/replay order of the same events yields one state.
+        (Ties on (key, lsn) may keep either copy — payloads are equal by
+        definition — so tie lsns are compared on (key, lsn) only.)"""
+        import pyarrow as pa
+
+        from rfb_cnpj_etl_ray.stages.merge import lww_reduce
+
+        a, b = _mk(a_rows), _mk(b_rows)
+        both = pa.concat_tables([a, b])
+        direct = lww_reduce(both)
+        staged = lww_reduce(pa.concat_tables(
+            [lww_reduce(a), lww_reduce(b)]))
+        # compare on (key, lsn): payload of equal-lsn duplicates is equal
+        assert [(d, l) for d, l, _ in _canon(direct)] == \
+            [(d, l) for d, l, _ in _canon(staged)]
+        # idempotence: re-applying the already-folded state is a no-op
+        again = lww_reduce(pa.concat_tables([direct, direct]))
+        assert _canon(again) == _canon(direct)
+        # commutativity of the split
+        swapped = lww_reduce(pa.concat_tables(
+            [lww_reduce(b), lww_reduce(a)]))
+        assert [(d, l) for d, l, _ in _canon(direct)] == \
+            [(d, l) for d, l, _ in _canon(swapped)]
+except ImportError:  # hypothesis not installed — library tests still run
+    pass

@@ -50,18 +50,21 @@ def exact_dedup(sf_dir: str):
         batch["dedup_key"] = words.map(lambda ws: " ".join(ws[:3]))
         return batch
 
-    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_key, batch_format="pandas"
     )
-    # partial winner per batch, then per-key final winner
+    # partial winner per batch, then the final winner as ONE vectorized
+    # groupby per block after a keyed exchange (no per-key dispatch)
     ds = ds.map_batches(
         lambda df: df.groupby("dedup_key", as_index=False)["doc_id"].min(),
         batch_format="pandas",
     )
-    return ds.groupby("dedup_key").map_groups(first_per_key, batch_format="pandas")
+    return repartition_by_key(ds, ["dedup_key"]).map_batches(
+        lambda df: df.groupby("dedup_key", as_index=False)["doc_id"].min(),
+        batch_format="pandas", batch_size=None,
+    )
 
 
 EXACT_DEDUP_SQL = """
@@ -81,29 +84,48 @@ SELECT dedup_key, MIN(doc_id) AS doc_id FROM k GROUP BY dedup_key
 JACCARD_THRESHOLD = 0.5
 
 
+def _jaccard_pairs_matrix(docs: np.ndarray, sets_list: list,
+                          threshold: float) -> pd.DataFrame:
+    """All pairs with set-Jaccard ≥ threshold, computed as ONE incidence
+    matmul: factorize the block's vocabulary, build the (docs × vocab)
+    bool incidence, intersections = M·Mᵀ — no per-pair Python loop."""
+    order = np.argsort(docs)
+    docs = docs[order]
+    sets_list = [sets_list[i] for i in order]
+    flat = [w for s in sets_list for w in s]
+    lens = np.array([len(s) for s in sets_list], dtype=np.int64)
+    if not flat:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+    n, v = len(docs), int(codes.max()) + 1
+    m = np.zeros((n, v), dtype=np.int32)
+    rows = np.repeat(np.arange(n), lens)
+    m[rows, codes] = 1
+    inter = m @ m.T
+    union = lens[:, None] + lens[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(inter > 0, inter / np.maximum(union, 1), 0.0)
+    ia, ib = np.where(np.triu(jac >= threshold, k=1))
+    return pd.DataFrame({
+        "doc_a": docs[ia].astype("int64"),
+        "doc_b": docs[ib].astype("int64"),
+        "jaccard": np.round(jac[ia, ib], 4),
+    })
+
+
 def jaccard_block_pairs(sf_dir: str):
     """All document pairs within a (lang, source) block whose word-set
     Jaccard ≥ 0.5 — exact blocked near-dup. Blocks bound the quadratic
     pairwise cost (|block|² instead of |corpus|²); for unblocked corpora
-    use minhash_lsh_candidates below."""
+    use minhash_lsh_candidates below. Per-block work is one vectorized
+    incidence matmul (no per-pair Python)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = g["doc_id"].to_numpy()
         sets = [set(ws) for ws in g["text"].str.lower().str.findall(WS_RE)]
-        order = np.argsort(docs)
-        rows = []
-        for ii in range(len(order)):
-            a = order[ii]
-            for jj in range(ii + 1, len(order)):
-                b = order[jj]
-                inter = len(sets[a] & sets[b])
-                if inter == 0:
-                    continue
-                union = len(sets[a]) + len(sets[b]) - inter
-                j = inter / union
-                if j >= JACCARD_THRESHOLD:
-                    rows.append((int(docs[a]), int(docs[b]), round(j, 4)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        return _jaccard_pairs_matrix(g["doc_id"].to_numpy(), sets,
+                                     JACCARD_THRESHOLD)
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
     return ds.groupby(["lang", "source"]).map_groups(pairs, batch_format="pandas")
@@ -533,27 +555,14 @@ def jaccard_shingle_pairs(sf_dir: str):
     MinHash-LSH over the same shingles is the unblocked scale path."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = g["doc_id"].to_numpy()
         words = g["text"].str.lower().str.findall(WS_RE)
         sets = [
             set(" ".join(ws[i:i + SHINGLE_N])
                 for i in range(max(len(ws) - SHINGLE_N + 1, 0)))
             for ws in words
         ]
-        order = np.argsort(docs)
-        rows = []
-        for ii in range(len(order)):
-            a = order[ii]
-            for jj in range(ii + 1, len(order)):
-                b = order[jj]
-                inter = len(sets[a] & sets[b])
-                if inter == 0:
-                    continue
-                union = max(len(sets[a]) + len(sets[b]) - inter, 1)
-                j = inter / union
-                if j >= SHINGLE_THRESHOLD:
-                    rows.append((int(docs[a]), int(docs[b]), round(j, 4)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        return _jaccard_pairs_matrix(g["doc_id"].to_numpy(), sets,
+                                     SHINGLE_THRESHOLD)
 
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
     return ds.groupby(["lang", "source"]).map_groups(pairs, batch_format="pandas")

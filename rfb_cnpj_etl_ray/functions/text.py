@@ -89,7 +89,20 @@ def quality_scores(sf_dir: str):
         n_words = words.str.len().astype("int64")
         n_chars = s.str.len().astype("int64")
         word_chars = s.str.replace(r"\s", "", regex=True).str.len().astype("int64")
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in stop_set))
+        # stopword count over the flat word buffer: one isin + one
+        # reduceat for the whole batch (no per-row Python)
+        counts = n_words.to_numpy()
+        flat = np.concatenate(
+            [np.char.lower(np.asarray(w, dtype=str)) for w in words
+             if len(w)]) if counts.sum() else np.array([], dtype=str)
+        hits = np.isin(flat, list(stop_set)).astype(np.int64)
+        offsets = np.zeros(len(batch), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        n_stop = np.zeros(len(batch), dtype=np.int64)
+        nonempty = counts > 0
+        if hits.size:
+            n_stop[nonempty] = np.add.reduceat(hits, offsets[nonempty])
+        n_stop = pd.Series(n_stop, index=batch.index)
         safe = n_words.replace(0, 1)
         return pd.DataFrame(
             {
@@ -135,13 +148,22 @@ class LanguageId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].str.lower().str.findall(WS_RE)
-        n = words.str.len().replace(0, 1).to_numpy(dtype=np.int64)
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        n = np.maximum(counts, 1)
+        # flat word buffer + one isin per language + per-doc reduceat —
+        # no per-row Python lambdas
+        flat = np.concatenate(
+            [np.asarray(w, dtype=str) for w in words if len(w)]
+        ) if counts.sum() else np.array([], dtype=str)
+        offsets = np.zeros(len(batch), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonempty = counts > 0
         scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
-            prof = self.profiles[lang]
-            scores[:, j] = words.map(
-                lambda ws, p=prof: sum(1 for w in ws if w in p)
-            )
+            hits = np.isin(flat, list(self.profiles[lang])).astype(np.int64)
+            if hits.size:
+                scores[nonempty, j] = np.add.reduceat(hits,
+                                                      offsets[nonempty])
         best = np.argmax(scores, axis=1)
         best_score = scores[np.arange(len(batch)), best]
         pred = np.where(best_score > 0, np.array(self.langs)[best], "und")

@@ -137,9 +137,9 @@ SELECT doc_id,
                        ELSE 'video' END AS media_type,
        CAST(length(text) % 640 + 1 AS INTEGER) AS width,
        CAST(length(text) % 480 + 1 AS INTEGER) AS height,
-       list_sum(list_transform(range(1, length(text) + 1),
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
                 i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)))
-         * 1000 // length(text) AS mean_luma_milli,
+         * 1000 // length(text) AS BIGINT) AS mean_luma_milli,
        CAST(length(text) AS BIGINT) AS n_bytes
 FROM documents
 """

@@ -525,11 +525,15 @@ def hourly_user_activity(sf_dir: str):
         Sum("n_events", alias_name="n_events"),
         Sum("sum_cents", alias_name="sum_cents"),
     )
+    # cast hour AFTER the groupby: Ray's Aggregate round-trips keys
+    # through numpy and collapses the timestamp unit, so an upstream
+    # cast is lost — project to timestamp[us] here to match the
+    # oracle's date_trunc surface type
     return out.map_batches(
         lambda t: pa.table(
             {
                 "user_id": t.column("user_id"),
-                "hour": t.column("hour"),
+                "hour": pc.cast(t.column("hour"), pa.timestamp("us")),
                 "n_events": t.column("n_events"),
                 "sum_cents": t.column("sum_cents"),
             }
@@ -541,7 +545,7 @@ def hourly_user_activity(sf_dir: str):
 HOURLY_USER_ACTIVITY_SQL = """
 SELECT user_id, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
@@ -700,10 +704,13 @@ def sliding_user_activity(sf_dir: str):
         Sum("n_events", alias_name="n_events"),
         Sum("sum_cents", alias_name="sum_cents"),
     )
+    # timestamp[us] cast after the groupby (Aggregate collapses the
+    # unit via numpy) — matches the oracle's date_trunc surface type
     return out.map_batches(
         lambda t: pa.table({
             "user_id": t.column("user_id"),
-            "window_start": t.column("window_start"),
+            "window_start": pc.cast(
+                t.column("window_start"), pa.timestamp("us")),
             "n_events": t.column("n_events"),
             "sum_cents": t.column("sum_cents"),
         }),
@@ -715,7 +722,7 @@ SLIDING_USER_ACTIVITY_SQL = f"""
 SELECT user_id,
        date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events, unnest([0, 1, 2]) AS t(k)
 GROUP BY user_id, date_trunc('hour', ts) - INTERVAL (k) HOUR
 """

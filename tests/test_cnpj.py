@@ -135,3 +135,18 @@ def test_cnpj_full_registry_matches_oracle(ray_session, table, sql):
     (simples additionally exercises all three date NULL sentinels and
     real calendar dates through M4)."""
     assert_query_matches(C._cnpj_table_query(table), getattr(C, sql), SF_DIR)
+
+
+def test_cnpj_estabelecimento_report_matches_oracle(ray_session):
+    """The reference flagship analytical query (query_sqlite.md:11-79):
+    est⋈empresa + LEFT JOINs + two GROUP_CONCATs + CASE/COALESCE +
+    predicates + ORDER BY/LIMIT, vs the composed DuckDB oracle."""
+    assert_query_matches(
+        C.cnpj_estabelecimento_report, C.CNPJ_REPORT_SQL, SF_DIR
+    )
+
+
+def test_cnpj_report_nonempty(ray_session):
+    t = C.cnpj_estabelecimento_report(SF_DIR)
+    assert t.num_rows >= 1
+    assert "Razão Social" in t.schema.names

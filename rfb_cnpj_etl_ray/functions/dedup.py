@@ -330,6 +330,25 @@ FROM bands x JOIN bands y
 
 MINHASH_LSH_CANDIDATES_SQL = _minhash_sql()
 
+#: exact oracle for the linear min-propagation dedup: group_id is the
+#: connected-component min doc_id over the exact LSH candidate graph —
+#: a recursive-CTE transitive closure over the same edge set the
+#: candidates oracle reproduces bit-for-bit (upgrades the query from
+#: rows-only; closure is O(component²), fine at oracle scale)
+MINHASH_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE edges AS ({MINHASH_LSH_CANDIDATES_SQL}),
+adj AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges
+),
+reach(u, v) AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u
+)
+SELECT u AS doc_id, MIN(v) AS group_id FROM reach GROUP BY u
+"""
+
 
 def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
     """The LINEAR scale path for near-dup dedup: instead of enumerating
@@ -364,23 +383,48 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
             "min")
         return df
 
-    for _ in range(rounds):
+    # Plan barrier per round WITHOUT pinning the O(docs × bands)
+    # intermediate in the object store: each round's 2 hash-shuffle ops
+    # run as their own plan (each HashShuffleOperator holds an actor
+    # pool for the whole plan; >2 chained ones starve small clusters —
+    # observed deadlock at 4 CPUs), and rounds hand off through
+    # partitioned parquet on the scratch path (the staged-exchange spill
+    # location), so blocks are released as they are written instead of
+    # living in the store for the rest of the loop. The previous round's
+    # spill is deleted as soon as the next one is on disk; the last
+    # spill (the final plan's root) is wiped at the NEXT call.
+    import os
+    import shutil
+    from pathlib import Path
+
+    spill_root = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
+                  / "rfb_cnpj_etl_ray" / "minhash_spill"
+                  / Path(sf_dir).name)
+    shutil.rmtree(spill_root, ignore_errors=True)
+
+    prev_spill: Path | None = None
+    for r in range(rounds):
         ds = repartition_by_key(ds, ["band", "band_key"]).map_batches(
             bucket_min, batch_format="pandas", batch_size=None
         )
         ds = repartition_by_key(ds, ["doc_id"]).map_batches(
             doc_min, batch_format="pandas", batch_size=None
         )
-        # barrier per round: each hash-shuffle operator holds an actor
-        # pool for the whole plan, so chaining 2×rounds of them in ONE
-        # lazy plan can starve small clusters of CPU slots (observed
-        # deadlock at 4 CPUs); the intermediate is O(docs × bands).
-        ds = ds.materialize()
+        if r < rounds - 1:
+            path = spill_root / f"round_{r}"
+            path.mkdir(parents=True, exist_ok=True)
+            ds.write_parquet(str(path))
+            if prev_spill is not None:
+                shutil.rmtree(prev_spill, ignore_errors=True)
+            prev_spill = path
+            ds = ray.data.read_parquet(str(path))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("doc_id", as_index=False)["label"].min()
         return out.rename(columns={"label": "group_id"})
 
+    # the last round's doc-keyed exchange is still in this plan, so every
+    # doc's rows sit in one block and finalize emits one row per doc
     return ds.map_batches(finalize, batch_format="pandas", batch_size=None)
 
 

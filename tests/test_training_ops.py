@@ -181,3 +181,11 @@ def test_minhash_dedup_groups_linear_path(ray_session):
     pd.testing.assert_frame_equal(
         groups.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_minhash_dedup_groups_matches_component_oracle(ray_session):
+    """Exact oracle: group_id == connected-component min over the exact
+    LSH candidate graph (recursive-CTE closure in DuckDB)."""
+    assert_query_matches(
+        D.minhash_dedup_groups, D.MINHASH_DEDUP_GROUPS_SQL, SF_DIR
+    )

@@ -204,13 +204,15 @@ class MinHasher:
         sigs = sigs[nonempty]
         doc_ids = batch["doc_id"].to_numpy()[nonempty]
         rows_per_band = self.num_hashes // NUM_BANDS
+        assert self.num_hashes % NUM_BANDS == 0, \
+            "NUM_HASHES must be a multiple of NUM_BANDS"
         strs = sigs.astype("U10")
         band_keys = []
         for k in range(NUM_BANDS):
-            key = strs[:, 4 * k]
+            key = strs[:, rows_per_band * k]
             for j in range(1, rows_per_band):
                 key = np.char.add(np.char.add(key, ","),
-                                  strs[:, 4 * k + j])
+                                  strs[:, rows_per_band * k + j])
             band_keys.append(key)
         return pd.DataFrame({
             "doc_id": np.repeat(doc_ids, NUM_BANDS),
@@ -310,6 +312,12 @@ def _minhash_sql() -> str:
         f" % {_MH_PRIME}))"
         for i in range(NUM_HASHES)
     )
+    # band-key stride = rows per band, same derivation as MinHasher
+    # (was a hardcoded 4 on both sides — ADVICE r2)
+    rpb = NUM_HASHES // NUM_BANDS
+    bkey = " || ',' || ".join(
+        f"CAST(s[{rpb}*k+{j + 1}] AS VARCHAR)" for j in range(rpb)
+    )
     return f"""
 WITH wh AS (
   SELECT doc_id, {word_hash} AS hs FROM documents
@@ -317,9 +325,7 @@ WITH wh AS (
   SELECT doc_id, [{mins}] AS s FROM wh WHERE len(hs) > 0
 ), bands AS (
   SELECT doc_id, CAST(k AS INTEGER) AS band,
-         CAST(s[4*k+1] AS VARCHAR) || ',' || CAST(s[4*k+2] AS VARCHAR)
-           || ',' || CAST(s[4*k+3] AS VARCHAR) || ','
-           || CAST(s[4*k+4] AS VARCHAR) AS bkey
+         {bkey} AS bkey
   FROM sigs, unnest(range({NUM_BANDS})) AS t(k)
 )
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -439,13 +445,15 @@ _SH_BITS = 31
 
 def _word_poly_hashes(flat_words: np.ndarray, base: int) -> np.ndarray:
     """Polynomial hash (mod 2^31-1) of every word in an object array —
-    one flat byte buffer + end-aligned powers + add.reduceat; identical
-    to the SQL fold ``(a*base + ord(char)) % p`` over code points."""
+    one flat buffer + end-aligned powers + add.reduceat; identical to
+    the SQL fold ``(a*base + ord(char)) % p``. Folds CODE POINTS (via a
+    UTF-32 view), exactly what SQL ``ord(substr(...))`` yields — so the
+    bit-for-bit oracle claim holds on non-ASCII text too (ADVICE r2)."""
     if flat_words.size == 0:
         return np.zeros(0, dtype=np.int64)
-    enc = [w.encode("utf-8") for w in flat_words]
-    lens = np.array([len(e) for e in enc], dtype=np.int64)
-    arr = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    enc = [w.encode("utf-32-le") for w in flat_words]
+    lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.int64)
     maxlen = int(lens.max())
     powers = np.empty(max(maxlen, 1), dtype=np.int64)
     powers[0] = 1

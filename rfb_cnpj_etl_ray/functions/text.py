@@ -235,13 +235,16 @@ def _poly_hashes(texts: "pd.Series", window: int = _FP_WINDOW
     cross-doc windows masked to +inf before ``np.minimum.reduceat`` —
     no per-doc Python loop anywhere.
     """
-    encoded = texts.str.encode("utf-8")
-    lens = encoded.str.len().to_numpy(dtype=np.int64)
+    # fold CODE POINTS (UTF-32 view), matching SQL ord() exactly — the
+    # bit-for-bit oracle holds on non-ASCII text too (ADVICE r2)
+    encoded = texts.str.encode("utf-32-le")
+    lens = (encoded.str.len() // 4).to_numpy(dtype=np.int64)
     pad = np.maximum(window - lens, 0)  # space-pad short docs (rpad analog)
-    buf = b"".join(e + b" " * int(p) for e, p in zip(encoded, pad))
+    buf = b"".join(e + b" \x00\x00\x00" * int(p)
+                   for e, p in zip(encoded, pad))
     lens = lens + pad
     n_docs = len(texts)
-    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    arr = np.frombuffer(buf, dtype=np.uint32).astype(np.int64)
     total = len(arr)
     if total == 0:
         z = np.zeros(n_docs, dtype=np.int64)

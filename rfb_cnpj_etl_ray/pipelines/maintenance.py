@@ -255,16 +255,24 @@ def repartition_lake(
 
 
 def gc_snapshots(lake_dir: str | Path, table: str = "sequences",
-                 keep_commits: int = 2) -> dict:
+                 keep_commits: int = 2,
+                 tmp_grace_seconds: float = 900.0) -> dict:
     """Delete partition files no longer referenced by the last
     ``keep_commits`` commit records (plus leftover staging/tmp debris).
     CoW epochs supersede whole snapshots, so without GC a long-running
     table accumulates one full copy per epoch. Time-travel window =
     ``keep_commits``; the commit log itself (tiny JSON) is never pruned.
-    Safe under the crash model: files referenced by ANY retained commit
-    are kept, and deletion runs strictly after the newest commit is
-    durable (it already is — this only reads the log)."""
+
+    Safe to run concurrently with a live writer: a writer materializes
+    its epoch-N+1 files (and tmp files) in the part dirs BEFORE appending
+    the commit record, so GC only deletes data files whose epoch —
+    encoded in the ``epoch-NNNNNN`` / ``delta-NNNNNN`` filename — is
+    ``<=`` the newest COMMITTED epoch (uncommitted future epochs are
+    invisible to it), and only unlinks ``.tmp-*`` files older than
+    ``tmp_grace_seconds`` (a live writer's tmps are seconds old; a
+    crashed writer's are hours old)."""
     import json as _json
+    import time as _time
 
     table_dir = Path(lake_dir) / table
     log = CommitLog(table_dir)
@@ -279,22 +287,33 @@ def gc_snapshots(lake_dir: str | Path, table: str = "sequences",
             for f in [v.get("file")] + list(v.get("deltas", [])):
                 if f is not None:
                     referenced.add(f)
+    newest_epoch = log.latest_epoch()
     removed, freed = 0, 0
     for f in sorted(table_dir.glob("part=*/[de]*.parquet")):
         rel = str(f.relative_to(table_dir))
-        if rel not in referenced:
+        try:
+            file_epoch = int(f.stem.split("-")[1])
+        except (IndexError, ValueError):
+            continue  # not an engine data file — never touch it
+        if rel not in referenced and file_epoch <= newest_epoch:
             freed += f.stat().st_size
             f.unlink()
             removed += 1
-    # stale temp files from crashed writers + abandoned staging epochs
-    # older than the newest commit
+    # stale temp files from CRASHED writers only: a live writer's tmps
+    # are younger than the grace window and survive this pass
     import shutil as _shutil
 
+    now = _time.time()
     for t in table_dir.glob("part=*/*.tmp-*"):
-        freed += t.stat().st_size
-        t.unlink()
+        try:
+            st = t.stat()
+        except FileNotFoundError:
+            continue  # a concurrent writer just renamed/removed it
+        if now - st.st_mtime < tmp_grace_seconds:
+            continue
+        freed += st.st_size
+        t.unlink(missing_ok=True)
         removed += 1
-    newest_epoch = log.latest_epoch()
     for s in (table_dir / "_staging").glob("epoch-*"):
         if int(s.name.split("-")[1]) <= newest_epoch:
             _shutil.rmtree(s, ignore_errors=True)

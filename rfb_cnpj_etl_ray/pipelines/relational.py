@@ -533,8 +533,11 @@ def hourly_user_activity(sf_dir: str):
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         # integer-cent sums: exact partials, engine-neutral (no
         # summation-order ROUND boundary flips at high group counts)
+        # half_towards_infinity pins DuckDB round()'s half-away rule
+        # (Arrow defaults to half-to-even) — ADVICE r2
         cents = pc.cast(pc.round(
-            pc.multiply(batch.column("value"), 100.0)), pa.int64())
+            pc.multiply(batch.column("value"), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
         out = pa.table(
             {"user_id": batch.column("user_id"), "hour": hour,
              "cents": cents}
@@ -706,8 +709,11 @@ def sliding_user_activity(sf_dir: str):
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         # integer-cent sums: partial sums are exact and engine-neutral
         # (values are 2-decimal; summation order can never flip a round)
+        # half_towards_infinity pins DuckDB round()'s half-away rule
+        # (Arrow defaults to half-to-even) — ADVICE r2
         cents = pc.cast(pc.round(
-            pc.multiply(batch.column("value"), 100.0)), pa.int64())
+            pc.multiply(batch.column("value"), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
         tbls = []
         for k in range(_SLIDE_HOURS):
             start = pc.subtract(

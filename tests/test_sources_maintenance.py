@@ -363,3 +363,37 @@ def test_gc_snapshots_removes_superseded_epochs(ray_session, tmp_path):
     assert _vl(lake)["ok"]
     # idempotent
     assert gc_snapshots(lake, keep_commits=1)["removed_files"] == 0
+
+
+def test_gc_snapshots_spares_live_writer_files(ray_session, tmp_path):
+    """GC must not eat an in-flight writer's output: files of an epoch
+    NEWER than the last commit, and fresh .tmp files, survive; only
+    beyond-grace tmp debris is collected (ADVICE r2)."""
+    import os
+    import time as _time
+
+    from rfb_cnpj_etl_ray.pipelines.maintenance import gc_snapshots
+    from rfb_cnpj_etl_ray.state.commitlog import CommitLog
+
+    base, events, log_dir, lake, cfg = _mk_lake(tmp_path)
+    tdir = lake / "sequences"
+    pdir = next(iter(sorted(tdir.glob("part=*"))))
+    newest = CommitLog(tdir).latest_epoch()
+
+    # a concurrent writer's yet-uncommitted next-epoch file + fresh tmp
+    future = pdir / f"epoch-{newest + 1:06d}.parquet"
+    future.write_bytes(b"in-flight epoch snapshot")
+    fresh_tmp = pdir / "stage2-000.tmp-abcd1234"
+    fresh_tmp.write_bytes(b"fresh tmp")
+    # crashed-writer debris: a tmp file far older than the grace window
+    old_tmp = pdir / "stage2-001.tmp-deadbeef"
+    old_tmp.write_bytes(b"old tmp")
+    old = _time.time() - 7200
+    os.utime(old_tmp, (old, old))
+
+    gc_snapshots(lake, keep_commits=1)
+    assert future.exists(), "uncommitted future-epoch file was deleted"
+    assert fresh_tmp.exists(), "live writer's tmp file was deleted"
+    assert not old_tmp.exists(), "crashed-writer tmp debris survived"
+    future.unlink()
+    fresh_tmp.unlink()

@@ -189,3 +189,40 @@ def test_minhash_dedup_groups_matches_component_oracle(ray_session):
     assert_query_matches(
         D.minhash_dedup_groups, D.MINHASH_DEDUP_GROUPS_SQL, SF_DIR
     )
+
+
+def test_poly_hash_code_point_parity_non_ascii(ray_session, tmp_path):
+    """Engine poly hashes fold CODE POINTS (UTF-32 view) like SQL ord():
+    fingerprints/simhash/minhash oracles must stay bit-exact on
+    non-ASCII text (ADVICE r2 — ASCII corpora couldn't catch this)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            "ação público côrte",          # pt-BR accents
+            "straße über münchen",         # de umlauts + ß
+            "café noël déjà vu",           # fr accents
+            "plain ascii words here",      # control row
+            # near-identical pair: forces a non-empty candidate set
+            "ação pública côrte suprema do país " * 8,
+            "ação pública côrte suprema do país " * 8 + "extra",
+        ],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet')")
+    for fn, sql in [
+        (T.fingerprints, T.FINGERPRINTS_SQL),
+        (D.simhash_fingerprints, D.SIMHASH_FINGERPRINTS_SQL),
+        (D.minhash_lsh_candidates, D.MINHASH_LSH_CANDIDATES_SQL),
+    ]:
+        eng = normalize(to_pandas(fn(sf)))
+        ora = normalize(con.execute(sql).fetchdf())
+        pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    con.close()

@@ -201,7 +201,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_groups": D.MINHASH_DEDUP_GROUPS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
-        # omitted on purpose (stateful / approximate / binary-container →
-        # rows-only): cdc_ingest_final_state, minhash_dedup_groups,
-        # ann_ivf_topk, multimodal_wav_decode
+        "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
+        # omitted on purpose (rows-only): cdc_ingest_final_state
+        # (stateful CDC — hard-checked vs the replayer oracle in tests)
+        # and ann_ivf_topk (approximate by design — probed-bucket oracle
+        # in tests)
     }

@@ -179,6 +179,14 @@ def main() -> None:
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # empty hash partitions at small SF emit zero-block bundles whose
+    # schema is None; Ray's executor-state logger warns about the
+    # (cosmetic) schema change — keep the bench tail clean
+    import logging as _logging
+
+    _logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(_logging.ERROR)
 
     head = run_headline()
     queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" \

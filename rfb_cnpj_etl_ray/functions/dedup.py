@@ -25,11 +25,15 @@ import pyarrow as pa
 
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
+
 from rfb_cnpj_etl_ray.functions.text import WS_RE
 
 
 def _read_docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from rfb_cnpj_etl_ray.sources.parquet import read_table
+
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +564,7 @@ COSINE_THRESHOLD = 0.3
 def embedding_near_dup(sf_dir: str, threshold: float = COSINE_THRESHOLD):
     """Pairs of embeddings with cosine ≥ threshold within a label block —
     numpy matmul per group (vectorized |block|² at bounded block size)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(f"{sf_dir}/embeddings.parquet")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()

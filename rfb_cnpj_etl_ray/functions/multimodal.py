@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
+
 #: schema of a multimodal payload table.
 MEDIA_SCHEMA = pa.schema(
     [
@@ -97,7 +99,7 @@ class FakeDecoder:
 def attach_payloads(sf_dir: str):
     """Build a MEDIA_SCHEMA dataset from documents (text bytes stand in
     for media payloads — deterministic, no external data)."""
-    ds = ray.data.read_parquet(
+    ds = _read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -184,29 +186,38 @@ class WavDecoder:
         return pa.Table.from_pylist(rows)
 
 
+#: WAV fixture parameters (shared with the SQL oracle below)
+_WAV_RATE = 8000
+_WAV_FRAMES = 400            # 50 ms mono 16-bit
+_WAV_A = 7919                # integer waveform: v_i = ((doc_id*A + i*B)
+_WAV_B = 104729              #                  % 32768) - 16384
+
+
 def attach_wav_payloads(sf_dir: str):
-    """MEDIA_SCHEMA dataset whose payloads are REAL WAV files: a
-    deterministic sine per doc (freq = 220 + doc_id % 440 Hz, 50 ms,
-    8 kHz mono 16-bit), encoded with the stdlib codec — no external
-    data, real container bytes."""
+    """MEDIA_SCHEMA dataset whose payloads are REAL WAV files (stdlib
+    codec, genuine RIFF container bytes). The PCM content is an
+    INTEGER-deterministic pseudo-random waveform
+    ``v_i = ((doc_id·7919 + i·104729) mod 32768) − 16384`` — chosen over
+    a float sine so every decoded sample (and therefore the RMS) is
+    bit-for-bit reproducible in SQL: integer modular arithmetic has no
+    libm/ulp divergence between numpy and DuckDB."""
     import io
     import wave
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])
 
     def synth(batch: pa.Table) -> pa.Table:
         payloads = []
+        i = np.arange(_WAV_FRAMES, dtype=np.int64)
         for doc_id in batch.column("doc_id").to_pylist():
-            rate, dur = 8000, 0.05
-            t = np.arange(int(rate * dur)) / rate
-            tone = (np.sin(2 * np.pi * (220 + doc_id % 440) * t)
-                    * 16000).astype(np.int16)
+            tone = (((doc_id * _WAV_A + i * _WAV_B) % 32768)
+                    - 16384).astype(np.int16)
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(2)
-                w.setframerate(rate)
+                w.setframerate(_WAV_RATE)
                 w.writeframes(tone.tobytes())
             payloads.append(buf.getvalue())
         n = [len(p) for p in payloads]
@@ -223,11 +234,30 @@ def attach_wav_payloads(sf_dir: str):
 
 def multimodal_wav_decode(sf_dir: str, batch_size: int = 512):
     """Real-codec pipeline: synth WAV payloads → actor-pool WavDecoder →
-    audio feature table. rows-only oracle (SQL cannot parse RIFF), but
-    tests assert exact header fields and RMS against the generator."""
+    audio feature table. Exact DuckDB oracle: header fields are fixture
+    constants and the RMS is recomputed from the integer waveform
+    formula (sum of squares < 2^53 stays exact; / and sqrt are IEEE
+    correctly-rounded in both engines, so the truncated integer RMS
+    matches bit-for-bit)."""
     return attach_wav_payloads(sf_dir).map_batches(
         WavDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+MULTIMODAL_WAV_DECODE_SQL = f"""
+SELECT doc_id,
+       CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
+       CAST({_WAV_FRAMES * 1000 // _WAV_RATE} AS BIGINT) AS duration_ms,
+       CAST(floor(sqrt(list_sum(list_transform(range(0, {_WAV_FRAMES}),
+                i -> CAST(((doc_id * {_WAV_A} + i * {_WAV_B}) % 32768
+                           - 16384) AS BIGINT)
+                     * ((doc_id * {_WAV_A} + i * {_WAV_B}) % 32768
+                        - 16384)))
+            / {_WAV_FRAMES}.0)) AS BIGINT) AS rms
+FROM documents
+"""

@@ -15,6 +15,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
+
 TOP_K = 10
 
 
@@ -71,7 +73,7 @@ def ann_topk(sf_dir: str):
                 ["cosine", "vec_id"], ascending=[False, True]
             )
 
-    ds = ray.data.read_parquet(
+    ds = _read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     local = ds.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
@@ -108,7 +110,7 @@ def _fit_centroids(
     collects ~2×sample_size rows no matter how big the corpus is (and,
     unlike ``random_sample``, the selection is independent of block
     layout — two calls always agree)."""
-    ds = ray.data.read_parquet(
+    ds = _read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     total = max(1, ds.count())  # metadata-only for parquet
@@ -180,7 +182,7 @@ def ann_ivf_topk(sf_dir: str):
             )
             return out.nlargest(TOP_K, ["cosine"])
 
-    ds = ray.data.read_parquet(
+    ds = _read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     local = ds.map_batches(

@@ -36,7 +36,9 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def _read_docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from rfb_cnpj_etl_ray.sources.parquet import read_table
+
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 class TokenCounter:
@@ -403,6 +405,13 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
         return batch
 
     def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("pack_id", pa.int64()),
+                            ("n_chars", pa.int64())])
+        if batch.empty:
+            # an empty hash partition must still carry the declared
+            # schema, or Ray logs a schema-consistency warning
+            return schema.empty_table()
         b = batch.sort_values("doc_id").reset_index(drop=True)
         lens = b["n_chars"].to_numpy()
         grps = b["grp"].to_numpy()
@@ -416,10 +425,10 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
                 acc = 0
             acc += ln
             pack_local[i] = pid
-        return pd.DataFrame(
-            {"doc_id": b["doc_id"],
+        return pa.table(
+            {"doc_id": b["doc_id"].to_numpy(),
              "pack_id": grps * 1_000_000 + pack_local,
-             "n_chars": b["n_chars"]}
+             "n_chars": b["n_chars"].to_numpy()}, schema=schema
         )
 
     ds = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(

@@ -31,7 +31,9 @@ import ray.data
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from rfb_cnpj_etl_ray.sources.parquet import read_table
+
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -118,6 +120,9 @@ def customers_without_orders(sf_dir: str):
 
     Predicate pushdown at the read: only o_custkey of qualifying orders
     ever leaves storage (row-group filter + column prune)."""
+    # plain read: Ray's reader rejects a declared schema combined with a
+    # row filter on a non-projected column (ArrowInvalid), so this site
+    # keeps the file schema
     orders_keys = (
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
@@ -399,11 +404,14 @@ def revenue_by_nation(sf_dir: str):
         def __init__(self, ref):
             self.map = ray.get(ref)  # 25 entries, once per actor
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch: pd.DataFrame):
+            from rfb_cnpj_etl_ray.sources.parquet import from_pandas_clean
+
             batch["n_name"] = batch["c_nationkey"].map(self.map)
             # inner-join semantics: a customer without a nation row
             # contributes nothing (the oracle's JOIN drops it too)
-            return batch.dropna(subset=["n_name"])[["c_custkey", "n_name"]]
+            return from_pandas_clean(
+                batch.dropna(subset=["n_name"])[["c_custkey", "n_name"]])
 
     customer_n = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         AttachNation, fn_constructor_kwargs={"ref": nation_ref},
@@ -414,9 +422,11 @@ def revenue_by_nation(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    def revenue_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    from rfb_cnpj_etl_ray.sources.parquet import from_pandas_clean
+
+    def revenue_partial(batch: pd.DataFrame) -> pa.Table:
         batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        return (
+        return from_pandas_clean(
             batch.groupby("l_orderkey", as_index=False)["revenue"].sum()
         )
 
@@ -430,8 +440,9 @@ def revenue_by_nation(sf_dir: str):
 
     # pre-reduce per custkey per block BEFORE the second exchange: the
     # customer join then moves ≤|customers| rows per block, not orders
-    def custkey_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_custkey", as_index=False)["revenue"].sum()
+    def custkey_partial(batch: pd.DataFrame) -> pa.Table:
+        return from_pandas_clean(
+            batch.groupby("o_custkey", as_index=False)["revenue"].sum())
 
     per_cust = joined.map_batches(custkey_partial, batch_format="pandas")
 
@@ -546,7 +557,11 @@ def hourly_user_activity(sf_dir: str):
         g = df.groupby(["user_id", "hour"], as_index=False).agg(
             n_events=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas schema metadata (a dict): Ray hashes
+        # block schemas for plan dedup and warns on unhashable
+        # metadata / per-block metadata drift
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
     from ray.data.aggregate import Sum
@@ -727,7 +742,11 @@ def sliding_user_activity(sf_dir: str):
         df = out.to_pandas()
         g = df.groupby(["user_id", "window_start"], as_index=False).agg(
             n_events=("cents", "size"), sum_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas schema metadata (a dict): Ray hashes
+        # block schemas for plan dedup and warns on unhashable
+        # metadata / per-block metadata drift
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 

@@ -55,6 +55,52 @@ class FileTransport:
             return f.read(length)
 
 
+class HttpTransport:
+    """HTTP(S) adapter for the :class:`Transport` protocol — the wire the
+    reference downloader actually speaks (``cnpj_downloader.py``: byte
+    ranges against the RFB mirror). stdlib ``urllib`` only, created
+    lazily so the engine imports fine in network-less sandboxes; it only
+    touches the network when a fetch pipeline actually runs.
+
+    ``size`` issues a HEAD and reads Content-Length; ``read_range``
+    sends an RFC 7233 ``Range`` header and returns the 206 body. A
+    server that ignores Range (plain ``http.server``) answers 200 with
+    the full body — handled by slicing, correct though not
+    bandwidth-optimal."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        import urllib.request
+
+        self._urllib = urllib.request
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _url(self, name: str) -> str:
+        return f"{self.base_url}/{name}"
+
+    def size(self, name: str) -> int:
+        req = self._urllib.Request(self._url(name), method="HEAD")
+        with self._urllib.urlopen(req, timeout=self.timeout) as r:
+            cl = r.headers.get("Content-Length")
+            if cl is None:
+                raise RuntimeError(
+                    f"{self._url(name)}: no Content-Length in HEAD response"
+                )
+            return int(cl)
+
+    def read_range(self, name: str, offset: int, length: int) -> bytes:
+        req = self._urllib.Request(
+            self._url(name),
+            headers={"Range": f"bytes={offset}-{offset + length - 1}"},
+        )
+        with self._urllib.urlopen(req, timeout=self.timeout) as r:
+            body = r.read()
+        if r.status == 206:
+            return body
+        # Range ignored (200): full object returned — slice locally
+        return body[offset:offset + length]
+
+
 class FlakyTransport(FileTransport):
     """Deterministic fault injection: every read past ``fail_after``
     cumulative bytes raises, ``fail_times`` times, then recovers —

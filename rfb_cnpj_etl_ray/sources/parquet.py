@@ -1,0 +1,44 @@
+"""Metadata-clean parquet reads for externally-written tables.
+
+Parquet files written by pandas embed a ``b'pandas'`` key in the Arrow
+schema metadata; ``hash(schema)`` on such a schema raises ``unhashable
+type: 'dict'`` (pyarrow 16), which defeats Ray Data's schema-hash
+deduplication and spams "Failed to hash the schemas" warnings from every
+read and shuffle aggregator that touches the blocks (VERDICT r2 #7).
+
+``read_table`` pins a DECLARED metadata-free schema on the dataset at
+the read (one footer-only ``pq.read_schema`` on the driver), so every
+downstream operator sees a stable, hashable schema. The engine's own
+lake files are written metadata-free and already pass explicit schemas
+(pipelines/ingest.py); this helper is for the driver's pandas-written
+test tables and any external corpus.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with a declared, metadata-free schema.
+
+    ``columns`` prunes the declared schema to match the projected output;
+    row filters (``filter=``) may still reference non-projected columns —
+    they are evaluated against the file schema, not the declared one.
+    """
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=sch, **kwargs)
+
+
+def from_pandas_clean(df) -> pa.Table:
+    """``pa.Table.from_pandas`` without the ``b'pandas'`` schema metadata
+    (whose hash raises inside Ray's schema dedup — see module docstring).
+    Use for map_batches stages that feed shuffles/joins so the aggregator
+    sees one stable, hashable schema."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False).replace_schema_metadata(None)

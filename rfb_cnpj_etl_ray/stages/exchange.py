@@ -36,5 +36,15 @@ def repartition_by_key(
     """
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def _strip_meta(t):
+        # blocks inherit parquet/pandas schema metadata that defeats the
+        # shuffle aggregator's schema-hash dedup (it logs "Failed to
+        # hash the schemas"); a metadata-only rewrite is zero-copy and
+        # gives every block the same clean schema
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    ds = ds.map_batches(_strip_meta, batch_format="pyarrow",
+                        zero_copy_batch=True)
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return ds.repartition(num_blocks=num_blocks, keys=list(keys))

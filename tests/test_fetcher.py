@@ -97,3 +97,113 @@ def test_fetch_segments_parallel(ray_session, tmp_path):
     assert {r["name"] for r in reports} == set(blobs)
     for name, data in blobs.items():
         assert (tmp_path / "local" / name).read_bytes() == data
+
+
+# ---------------------------------------------------------------------------
+# HttpTransport against a local http.server (loopback only)
+# ---------------------------------------------------------------------------
+
+class _RangeHandler(__import__("http.server", fromlist=["x"]).SimpleHTTPRequestHandler):
+    """SimpleHTTPRequestHandler + minimal RFC 7233 single-range support
+    (the stdlib handler ignores Range; real mirrors honor it)."""
+
+    def send_head(self):
+        rng = self.headers.get("Range")
+        if not rng or not rng.startswith("bytes="):
+            return super().send_head()
+        import os as _os
+        import posixpath
+        path = self.translate_path(self.path)
+        try:
+            f = open(path, "rb")
+        except OSError:
+            self.send_error(404)
+            return None
+        size = _os.fstat(f.fileno()).st_size
+        lo, hi = rng[len("bytes="):].split("-")
+        lo = int(lo)
+        hi = min(int(hi), size - 1) if hi else size - 1
+        self.send_response(206)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Range", f"bytes {lo}-{hi}/{size}")
+        self.send_header("Content-Length", str(hi - lo + 1))
+        self.end_headers()
+        f.seek(lo)
+        import io
+        return io.BytesIO(f.read(hi - lo + 1))
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def http_dir(tmp_path):
+    import functools
+    import http.server
+    import threading
+
+    serve = tmp_path / "serve"
+    serve.mkdir()
+    (serve / "seg-a.parquet").write_bytes(b"A" * 300_000)
+    handler = functools.partial(_RangeHandler, directory=str(serve))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield serve, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_transport_fetch_with_ranges(http_dir, tmp_path):
+    from rfb_cnpj_etl_ray.sources.fetcher import HttpTransport, fetch_segment
+
+    serve, url = http_dir
+    tr = HttpTransport(url)
+    assert tr.size("seg-a.parquet") == 300_000
+    assert tr.read_range("seg-a.parquet", 10, 5) == b"AAAAA"
+    dest = tmp_path / "dest"
+    rep = fetch_segment(tr, "seg-a.parquet", dest, chunk_size=64 * 1024)
+    assert rep["bytes"] == 300_000 and not rep["skipped"]
+    assert (dest / "seg-a.parquet").read_bytes() == b"A" * 300_000
+    # idempotent re-run short-circuits
+    rep2 = fetch_segment(tr, "seg-a.parquet", dest)
+    assert rep2["skipped"]
+
+
+def test_http_transport_resume_from_part_offset(http_dir, tmp_path):
+    from rfb_cnpj_etl_ray.sources.fetcher import HttpTransport, fetch_segment
+
+    serve, url = http_dir
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    # a crashed earlier attempt left a partial file
+    (dest / "seg-a.parquet.part").write_bytes(b"A" * 120_000)
+    rep = fetch_segment(HttpTransport(url), "seg-a.parquet", dest,
+                        chunk_size=64 * 1024)
+    assert rep["resumed_from"] == 120_000
+    assert (dest / "seg-a.parquet").read_bytes() == b"A" * 300_000
+
+
+def test_http_transport_range_ignoring_server(tmp_path):
+    """Plain SimpleHTTPRequestHandler ignores Range (200 + full body):
+    the transport slices locally and the fetch still lands correct."""
+    import functools
+    import http.server
+    import threading
+
+    from rfb_cnpj_etl_ray.sources.fetcher import HttpTransport, fetch_segment
+
+    serve = tmp_path / "serve"
+    serve.mkdir()
+    (serve / "f.bin").write_bytes(bytes(range(256)) * 100)
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(serve))
+    handler.log_message = lambda *a: None
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        tr = HttpTransport(f"http://127.0.0.1:{srv.server_address[1]}")
+        assert tr.read_range("f.bin", 3, 4) == bytes([3, 4, 5, 6])
+        rep = fetch_segment(tr, "f.bin", tmp_path / "dest")
+        assert rep["bytes"] == 25_600
+    finally:
+        srv.shutdown()

@@ -160,7 +160,15 @@ def test_wav_decode_real_codec(ray_session):
     assert (df["n_channels"] == 1).all()
     assert (df["n_frames"] == 400).all()
     assert (df["duration_ms"] == 50).all()
-    assert df["rms"].between(10500, 11700).all()
+    # uniform integer waveform: rms ≈ 16384/sqrt(3) ≈ 9459
+    assert df["rms"].between(9000, 9900).all()
+
+
+def test_wav_decode_matches_oracle(ray_session):
+    """Real stdlib-codec decode vs the integer-waveform DuckDB oracle
+    (bit-exact: modular integer PCM + IEEE sqrt)."""
+    assert_query_matches(
+        M.multimodal_wav_decode, M.MULTIMODAL_WAV_DECODE_SQL, SF_DIR)
 
 
 def test_minhash_dedup_groups_linear_path(ray_session):

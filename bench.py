@@ -59,6 +59,10 @@ QUERY_NAMES = [
     "minhash_lsh_candidates",
     "minhash_dedup_groups",
     "pack_sequences",
+    # round-3: the reference flagship analytical query over the loaded
+    # CNPJ lake (fixture load is cached per sf_dir; best-of-2 times the
+    # warm query, the first repeat absorbs the one-time load)
+    "cnpj_estabelecimento_report",
 ]
 
 
@@ -199,6 +203,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf else None,
         "num_cpus": NUM_CPUS,
+        "query_protocol": "best_of_2_materialize",
         "events": head["events"],
         "events_per_sec": round(head["events_per_sec"], 1),
         "scratch": os.environ.get("GRAFT_TMP", "/tmp"),
@@ -413,6 +418,7 @@ def endurance() -> None:
         "metric": "endurance_events_per_sec",
         "events": int(sum(epoch_events)),
         "num_cpus": NUM_CPUS,
+        "query_protocol": "best_of_2_materialize",
         "n_docs": n_docs,
         "epochs": n_epochs,
         "epoch_sec": epoch_secs,

@@ -106,6 +106,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-partitions", type=int, default=32)
     sp.add_argument("--overwrite", action="store_true")
 
+    sp = sub.add_parser(
+        "complete",
+        help="reference 'complete' analog: fetch CNPJ zips (resumable, "
+             "File/Http transport) + full load + validate")
+    sp.add_argument("remote", help="source dir or http(s) base URL")
+    sp.add_argument("lake")
+    sp.add_argument("--work-dir", default=None,
+                    help="download dir (default <lake>/_downloads)")
+    sp.add_argument("--files", default=None,
+                    help="comma-separated zip names (required for http "
+                         "sources, which cannot be listed)")
+    sp.add_argument("--num-partitions", type=int, default=32)
+    sp.add_argument("--overwrite", action="store_true")
+
     sp = sub.add_parser("synth", help="generate deterministic base+log data")
     sp.add_argument("out_dir")
     sp.add_argument("--docs", type=int, default=10_000)
@@ -205,6 +219,47 @@ def main(argv: list[str] | None = None) -> int:
                                               args.local_log_dir)
             print(json.dumps({"segments": len(reports),
                               "bytes": sum(r["bytes"] for r in reports)}))
+        elif args.cmd == "complete":
+            from pathlib import Path
+
+            from rfb_cnpj_etl_ray.cnpj import CNPJ_REGISTRY, load_cnpj_files
+            from rfb_cnpj_etl_ray.config import EngineConfig
+            from rfb_cnpj_etl_ray.pipelines.maintenance import validate_lake
+            from rfb_cnpj_etl_ray.sources.fetcher import (
+                FileTransport,
+                HttpTransport,
+                fetch_segments,
+            )
+
+            # the reference's `complete` command (main.py: download +
+            # load + patch, orchestrator.run_orchestrator) as one
+            # resumable engine run: crash anywhere and re-run — fetched
+            # zips short-circuit, committed tables are idempotent
+            work = Path(args.work_dir or (Path(args.lake) / "_downloads"))
+            if args.remote.startswith(("http://", "https://")):
+                if not args.files:
+                    raise SystemExit("--files is required for http sources")
+                transport = HttpTransport(args.remote)
+                names = [f.strip() for f in args.files.split(",")]
+            else:
+                transport = FileTransport(args.remote)
+                names = sorted(
+                    p.name for p in Path(args.remote).glob("*.zip")
+                ) if not args.files else                     [f.strip() for f in args.files.split(",")]
+            fetched = fetch_segments(transport, names, work)
+            out = load_cnpj_files(
+                [str(work / n) for n in names], args.lake,
+                cfg=EngineConfig(num_partitions=args.num_partitions),
+                overwrite=args.overwrite,
+            )
+            checks = {t: validate_lake(args.lake, t, strict=False)["ok"]
+                      for t in out}
+            print(json.dumps({
+                "fetched": {r["name"]: r["bytes"] for r in fetched},
+                "tables": {t: rec["metrics"]["rows_total"]
+                           for t, rec in out.items()},
+                "validated": checks,
+            }))
         elif args.cmd == "load-cnpj":
             from rfb_cnpj_etl_ray.cnpj import load_cnpj_files
             from rfb_cnpj_etl_ray.config import EngineConfig

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -360,18 +361,20 @@ SELECT u AS doc_id, MIN(v) AS group_id FROM reach GROUP BY u
 """
 
 
-def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
+def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
     """The LINEAR scale path for near-dup dedup: instead of enumerating
     all candidate pairs (quadratic in duplicate-cluster size — a 1M-doc
     duplicate cluster at 100 TB makes ``minhash_lsh_candidates``
     intractable), assign every doc the MIN doc_id of each LSH bucket it
-    shares, then iterate min-propagation through the buckets ``rounds``
-    times (label propagation / pointer-jumping over the doc–bucket
-    bipartite graph; each round is one keyed exchange + one vectorized
-    min per block). Output (doc_id, group_id): docs in the same connected
-    LSH component converge to the component's min doc_id — keep one row
-    per group_id to dedup. Volume per round is O(docs × bands), never
-    O(pairs). rows-only oracle; invariants tested."""
+    shares, then iterate min-propagation through the buckets (label
+    propagation / pointer-jumping over the doc–bucket bipartite graph;
+    each round is two keyed exchanges + vectorized mins per block) UNTIL
+    A FIXED POINT: the loop counts changed labels each round and stops
+    when a round changes nothing, so the result equals the exact
+    connected-component labeling (MINHASH_DEDUP_GROUPS_SQL) on graphs of
+    ANY diameter; ``rounds`` is only the safety cap. Output
+    (doc_id, group_id): keep one row per group_id to dedup. Volume per
+    round is O(docs × bands), never O(pairs)."""
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -379,6 +382,10 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
     ).map_batches(
         lambda df: df.assign(label=df["doc_id"]), batch_format="pandas"
     )
+
+    def snapshot_label(df: pd.DataFrame) -> pd.DataFrame:
+        # round-start labels, kept alongside for the convergence count
+        return df.assign(label_prev=df["label"])
 
     def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
         # per (band, band_key) bucket: everyone adopts the bucket's min
@@ -392,6 +399,12 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
         df["label"] = df.groupby("doc_id", sort=False)["label"].transform(
             "min")
         return df
+
+    def count_changed(t: pa.Table) -> pa.Table:
+        n = pc.sum(pc.cast(pc.not_equal(t.column("label"),
+                                        t.column("label_prev")),
+                           pa.int64())).as_py() or 0
+        return pa.table({"changed": pa.array([n], pa.int64())})
 
     # Plan barrier per round WITHOUT pinning the O(docs × bands)
     # intermediate in the object store: each round's 2 hash-shuffle ops
@@ -414,28 +427,53 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 3):
 
     prev_spill: Path | None = None
     for r in range(rounds):
+        check = r > 0  # round 0 always changes something; skip its cost
+        if check:
+            ds = ds.map_batches(snapshot_label, batch_format="pandas")
         ds = repartition_by_key(ds, ["band", "band_key"]).map_batches(
             bucket_min, batch_format="pandas", batch_size=None
         )
         ds = repartition_by_key(ds, ["doc_id"]).map_batches(
             doc_min, batch_format="pandas", batch_size=None
         )
-        if r < rounds - 1:
-            path = spill_root / f"round_{r}"
-            path.mkdir(parents=True, exist_ok=True)
-            ds.write_parquet(str(path))
-            if prev_spill is not None:
-                shutil.rmtree(prev_spill, ignore_errors=True)
-            prev_spill = path
-            ds = ray.data.read_parquet(str(path))
+        path = spill_root / f"round_{r}"
+        path.mkdir(parents=True, exist_ok=True)
+        ds.write_parquet(str(path))
+        if prev_spill is not None:
+            shutil.rmtree(prev_spill, ignore_errors=True)
+        prev_spill = path
+        ds = ray.data.read_parquet(str(path))
+        if check:
+            # fixed-point check over a COLUMN-PRUNED read of the spill
+            # (two int64 columns, not the band-key strings); tiny
+            # per-block counts, not data, reach the driver
+            changed = sum(
+                row["changed"]
+                for row in ray.data.read_parquet(
+                    str(path), columns=["label", "label_prev"]
+                ).map_batches(
+                    count_changed, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()
+            )
+            if changed == 0:
+                break
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block pre-reduce: ≤|docs-in-block| rows continue
         out = df.groupby("doc_id", as_index=False)["label"].min()
         return out.rename(columns={"label": "group_id"})
 
-    # the last round's doc-keyed exchange is still in this plan, so every
-    # doc's rows sit in one block and finalize emits one row per doc
-    return ds.map_batches(finalize, batch_format="pandas", batch_size=None)
+    # a re-read spill may split one doc's rows across blocks, so finish
+    # with a keyed exchange over the PRE-REDUCED labels (O(docs), not
+    # O(docs × bands)) and one min per block
+    partial = ds.map_batches(partial_finalize, batch_format="pandas",
+                             batch_size=None)
+
+    def final_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["group_id"].min()
+
+    return repartition_by_key(partial, ["doc_id"]).map_batches(
+        final_min, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

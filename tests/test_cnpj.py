@@ -150,3 +150,29 @@ def test_cnpj_report_nonempty(ray_session):
     t = C.cnpj_estabelecimento_report(SF_DIR)
     assert t.num_rows >= 1
     assert "Razão Social" in t.schema.names
+
+
+def test_cli_complete_fetch_load_validate(ray_session, tmp_path):
+    """The reference's `complete` command analog: resumable fetch (File
+    transport) + full multi-table load + per-table validation, one CLI
+    call; re-run short-circuits on both fetch and load."""
+    import json as _json
+
+    from rfb_cnpj_etl_ray.cli import main as cli_main
+
+    zips_dir = tmp_path / "remote"
+    C.synth_cnpj_fixture(SF_DIR, zips_dir)
+    lake = tmp_path / "lake"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["complete", str(zips_dir), str(lake)])
+    assert rc in (0, None)
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(out["fetched"]) == {"Empresas0.zip", "Estabelecimentos0.zip",
+                                   "Paises.zip"}
+    assert out["tables"]["empresa"] > 0
+    assert out["tables"]["estabelecimento"] > 0
+    assert all(out["validated"].values())

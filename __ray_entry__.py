@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": T.train_val_split,
         "length_histogram": T.length_histogram,
         "pack_sequences": T.pack_sequences,
+        "top_tokens": T.top_tokens,
+        "stratified_sample": T.stratified_sample,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
@@ -192,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": T.LANGUAGE_ID_SQL,
         "fingerprints": T.FINGERPRINTS_SQL,
         "pack_sequences": T.PACK_SEQUENCES_SQL,
+        "top_tokens": T.TOP_TOKENS_SQL,
+        "stratified_sample": T.STRATIFIED_SAMPLE_SQL,
         "embedding_near_dup": D.EMBEDDING_NEAR_DUP_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,

@@ -459,3 +459,91 @@ WITH RECURSIVE d AS (
 )
 SELECT doc_id, grp * 1000000 + pack_local AS pack_id, n_chars FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy hitters: global top-K tokens
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_K = 50
+
+
+def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
+    """Global top-K most frequent tokens — the corpus-curation heavy
+    hitter report. Scale shape: counts pre-aggregate inside map_batches
+    (one np.unique per batch over the flat word buffer), so the groupby
+    shuffle moves ≤|block vocabulary| rows per block, never one row per
+    token occurrence; the final sort runs over |vocab| rows and limit
+    prunes."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        if not counts.sum():
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words
+                               if len(w)])
+        tok, cnt = np.unique(flat.astype(str), return_counts=True)
+        return pd.DataFrame({"token": tok, "n": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+TOP_TOKENS_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT {TOP_TOKENS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact deterministic stratified sampling (k docs per stratum)
+# ---------------------------------------------------------------------------
+
+STRATA_K = 40
+_SAMPLE_MULT = 2654435761          # Knuth multiplicative hash
+_SAMPLE_MOD = 4294967296           # 2^32 (BIGINT-exact in SQL)
+
+
+def stratified_sample(sf_dir: str, k: int = STRATA_K):
+    """Exactly ``k`` documents per language stratum, chosen by a
+    deterministic hash order (Knuth multiplicative, BIGINT-exact) — the
+    corpus-curation subsample that is reproducible across runs, engines
+    and cluster sizes (unlike ``random_sample``, which depends on block
+    layout). One keyed exchange on the stratum, then a block-wide sort +
+    ``groupby.head`` — the same per-block vectorized rank pattern as
+    ``top_orders_per_customer``."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype="object")})
+        df = df.copy()
+        df["h"] = (df["doc_id"] * _SAMPLE_MULT) % _SAMPLE_MOD
+        df = df.sort_values(["lang", "h", "doc_id"], kind="stable")
+        out = df.groupby("lang", sort=False).head(k)
+        return out[["doc_id", "lang"]]
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+    return repartition_by_key(ds, ["lang"]).map_batches(
+        pick, batch_format="pandas", batch_size=None)
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {STRATA_K}
+"""

@@ -234,3 +234,16 @@ def test_poly_hash_code_point_parity_non_ascii(ray_session, tmp_path):
         ora = normalize(con.execute(sql).fetchdf())
         pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
     con.close()
+
+
+def test_top_tokens_matches_oracle(ray_session):
+    """Heavy hitters: partial per-batch counts → groupby → top-k."""
+    assert_query_matches(T.top_tokens, T.TOP_TOKENS_SQL, SF_DIR)
+
+
+def test_stratified_sample_matches_oracle(ray_session):
+    """Exact deterministic k-per-stratum sample (hash order)."""
+    assert_query_matches(
+        T.stratified_sample, T.STRATIFIED_SAMPLE_SQL, SF_DIR)
+    df = to_pandas(T.stratified_sample(SF_DIR))
+    assert (df.groupby("lang").size() <= T.STRATA_K).all()

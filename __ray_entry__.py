@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lagged_events": R.lagged_events,
         "running_user_totals": R.running_user_totals,
         "asof_join_last_purchase": R.asof_join_last_purchase,
+        "session_windows": R.session_windows,
+        "distinct_users_per_type": R.distinct_users_per_type,
+        "quantity_quantiles": R.quantity_quantiles,
         # training-data operators (north-rule additions)
         "token_stats": T.token_stats,
         "quality_scores": T.quality_scores,
@@ -140,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
         "minhash_lsh_candidates": D.minhash_lsh_candidates,
         "minhash_dedup_groups": D.minhash_dedup_groups,
+        "dedup_corpus": D.dedup_corpus,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_near_dup": D.embedding_near_dup,
         "ann_topk": S.ann_topk,
@@ -187,6 +191,9 @@ def oracle_sql() -> dict[str, str]:
         "lagged_events": R.LAGGED_EVENTS_SQL,
         "running_user_totals": R.RUNNING_USER_TOTALS_SQL,
         "asof_join_last_purchase": R.ASOF_JOIN_LAST_PURCHASE_SQL,
+        "session_windows": R.SESSION_WINDOWS_SQL,
+        "distinct_users_per_type": R.DISTINCT_USERS_PER_TYPE_SQL,
+        "quantity_quantiles": R.QUANTITY_QUANTILES_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
         "train_val_split": T.TRAIN_VAL_SPLIT_SQL,
@@ -203,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": D.SIMHASH_FINGERPRINTS_SQL,
         "minhash_lsh_candidates": D.MINHASH_LSH_CANDIDATES_SQL,
         "minhash_dedup_groups": D.MINHASH_DEDUP_GROUPS_SQL,
+        "dedup_corpus": D.DEDUP_CORPUS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import pool_size as _pool
 from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
 
 from rfb_cnpj_etl_ray.functions.text import WS_RE
@@ -250,7 +251,7 @@ def minhash_lsh_candidates(sf_dir: str):
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 4)
+        MinHasher, batch_format="pandas", concurrency=_pool()
     )
 
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -378,7 +379,7 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 4)
+        MinHasher, batch_format="pandas", concurrency=_pool()
     ).map_batches(
         lambda df: df.assign(label=df["doc_id"]), batch_format="pandas"
     )
@@ -679,4 +680,97 @@ FROM s a JOIN s b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh)) * 1.0
       / GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus dedup: the operator a 100 TB training-data run
+# actually executes — compute near-dup components (linear min-propagation
+# path above), then MATERIALIZE the surviving corpus: one representative
+# document per component (min doc_id), annotated with how many near-dups
+# it absorbed. Composition, not new machinery: every stage streams.
+# ---------------------------------------------------------------------------
+
+def dedup_corpus(sf_dir: str, rounds: int = 8):
+    """Surviving documents after MinHash-LSH near-dup removal: one row
+    per duplicate component — ``doc_id`` (the representative = min
+    doc_id of the component, the exact fixed-point label from
+    :func:`minhash_dedup_groups`), its ``text`` and ``n_chars``, and
+    ``group_size`` (1 + near-dups dropped). Shape: the O(docs) label
+    table hash-exchanges on group_id for the size count; representatives
+    then join back to the corpus via a keyed exchange on doc_id — both
+    exchanges carry two int64 columns; the wide text column only moves
+    once, pruned to the surviving rows' partitions."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    labels = minhash_dedup_groups(sf_dir, rounds=rounds)
+    # checkpoint the O(docs) label table (two int64 columns) through the
+    # spill path: its plan already carries one hash exchange, and this
+    # function adds two more — >2 hash-shuffle ops in ONE lazy plan
+    # starves small clusters (each holds an actor pool; observed 4-CPU
+    # deadlock), so the checkpoint caps every plan at ≤2
+    lab_path = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
+                / "rfb_cnpj_etl_ray" / "minhash_spill"
+                / Path(sf_dir).name / "labels")
+    shutil.rmtree(lab_path, ignore_errors=True)
+    lab_path.mkdir(parents=True, exist_ok=True)
+    labels.write_parquet(str(lab_path))
+    labels = ray.data.read_parquet(str(lab_path))
+
+    def group_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("group_id", as_index=False).agg(
+            group_size=("doc_id", "size"))
+        g["doc_id"] = g["group_id"]  # representative == component min
+        return g[["doc_id", "group_size"]]
+
+    reps = repartition_by_key(labels, ["group_id"]).map_batches(
+        group_stats, batch_format="pandas", batch_size=None)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        # after the shared doc_id exchange each block holds a rep row
+        # and its document row iff the doc survives; inner merge per
+        # block IS the global join
+        left = df[df["group_size"].notna()][["doc_id", "group_size"]]
+        right = df[df["group_size"].isna()][["doc_id", "text"]]
+        out = left.merge(right, on="doc_id", how="inner")
+        out["n_chars"] = out["text"].str.len().astype("int64")
+        out["group_size"] = out["group_size"].astype("int64")
+        return out[["doc_id", "text", "n_chars", "group_size"]]
+
+    # both sides must present ONE declared schema to the union + shuffle
+    # (an all-null pandas object column would otherwise infer null type)
+    def tag_rep(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "text": pa.nulls(len(df), pa.string()),
+            "group_size": pa.array(df["group_size"], pa.float64()),
+        })
+
+    def tag_doc(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "text": pa.array(df["text"], pa.string()),
+            "group_size": pa.nulls(len(df), pa.float64()),
+        })
+
+    both = reps.map_batches(tag_rep, batch_format="pandas").union(
+        docs.map_batches(tag_doc, batch_format="pandas"))
+    return repartition_by_key(both, ["doc_id"]).map_batches(
+        attach_text, batch_format="pandas", batch_size=None)
+
+
+DEDUP_CORPUS_SQL = f"""
+WITH groups AS ({MINHASH_DEDUP_GROUPS_SQL})
+SELECT d.doc_id, d.text,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(s.group_size AS BIGINT) AS group_size
+FROM (SELECT group_id, COUNT(*) AS group_size
+      FROM groups GROUP BY group_id) s
+JOIN documents d ON d.doc_id = s.group_id
 """

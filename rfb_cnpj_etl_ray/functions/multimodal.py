@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import pool_size as _pool
 from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
 
 #: schema of a multimodal payload table.
@@ -129,7 +130,7 @@ def multimodal_features(sf_dir: str, batch_size: int = 512):
         fn_constructor_kwargs={"media_type": "image"},
         batch_format="pyarrow",
         batch_size=batch_size,   # small: binary rows are wide
-        concurrency=(1, 4),
+        concurrency=_pool(),
     )
 
 
@@ -243,7 +244,7 @@ def multimodal_wav_decode(sf_dir: str, batch_size: int = 512):
         WavDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=_pool(),
     )
 
 

@@ -15,6 +15,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import pool_size as _pool
 from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
 
 TOP_K = 10
@@ -77,7 +78,7 @@ def ann_topk(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     local = ds.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
-                           batch_format="pandas", concurrency=(1, 4))
+                           batch_format="pandas", concurrency=_pool())
     return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)
 
 
@@ -189,6 +190,6 @@ def ann_ivf_topk(sf_dir: str):
         ProbeScore,
         fn_constructor_kwargs={"cent_ref": cent_ref, "q_ref": q_ref,
                                "probes": probe_buckets},
-        batch_format="pandas", concurrency=(1, 4),
+        batch_format="pandas", concurrency=_pool(),
     )
     return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)

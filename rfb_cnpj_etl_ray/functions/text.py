@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import pool_size as _pool
+
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 WS_RE = r"\S+"
@@ -63,7 +65,7 @@ class TokenCounter:
 def token_stats(sf_dir: str):
     """Whitespace + BPE-ish token counts per document."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pandas", concurrency=(1, 4)
+        TokenCounter, batch_format="pandas", concurrency=_pool()
     )
 
 
@@ -180,7 +182,7 @@ class LanguageId:
 
 def language_id(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LanguageId, batch_format="pandas", concurrency=(1, 4)
+        LanguageId, batch_format="pandas", concurrency=_pool()
     )
 
 

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rfb_cnpj_etl_ray.sources.parquet import pool_size as _pool
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     from rfb_cnpj_etl_ray.sources.parquet import read_table
@@ -145,7 +147,7 @@ def customers_without_orders(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return ds.map_batches(AntiJoin, fn_constructor_kwargs={"ref": key_ref},
                           batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
+                          concurrency=_pool())
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -205,11 +207,11 @@ def customers_without_orders_bloom(sf_dir: str):
     customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     definite_out = customers.map_batches(
         Split, fn_constructor_kwargs={"ref": bloom_ref, "want_members": False},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(),
     )
     candidates = customers.map_batches(
         Split, fn_constructor_kwargs={"ref": bloom_ref, "want_members": True},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(),
     )
     verified = bucketed_anti_join(candidates, orders_keys,
                                   "c_custkey", "o_custkey")
@@ -415,7 +417,7 @@ def revenue_by_nation(sf_dir: str):
 
     customer_n = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         AttachNation, fn_constructor_kwargs={"ref": nation_ref},
-        batch_format="pandas", concurrency=(1, 4),
+        batch_format="pandas", concurrency=_pool(),
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     lineitem = _read(
@@ -812,4 +814,169 @@ FROM (
                                ORDER BY o_totalprice DESC, o_orderkey) rn
   FROM orders
 ) WHERE rn <= {_TOPK_PER_CUST}
+"""
+
+# ---------------------------------------------------------------------------
+# sessionization (gaps-and-islands) — the streaming session-window shape a
+# training-data event pipeline needs; reference has no analog (SURVEY §2.6
+# extension). One keyed exchange, then the whole gap→island→aggregate
+# cascade is three vectorized pandas kernels per block.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30  # inactivity gap (minutes) that closes a session
+
+
+def session_windows(sf_dir: str):
+    """Per-user session windows: consecutive events closer than
+    ``_SESSION_GAP_MIN`` minutes share a session; a strictly-greater gap
+    opens a new one. Output one row per session with start/end, event
+    count and exact integer-cent value sum. Partitioning assumption:
+    user_id hash exchange puts each user's full history in one block, so
+    gap detection is ``diff`` + ``cumsum`` over run boundaries — no
+    per-user Python dispatch, no watermark state (batch semantics)."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = pd.Timedelta(minutes=_SESSION_GAP_MIN)
+        prev_ts = df.groupby("user_id", sort=False)["ts"].shift(1)
+        # first event of a user (NaT prev) and gap>threshold both start
+        is_start = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
+        df["session_idx"] = is_start.astype("int64").groupby(
+            df["user_id"], sort=False).cumsum()
+        # exact cents: value is 2-decimal; round-half-away matches the
+        # oracle's round() (ADVICE r2 rounding pin)
+        cents = np.round(df["value"].to_numpy() * 100.0)
+        df["cents"] = cents.astype("int64")
+        out = df.groupby(["user_id", "session_idx"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("ts", "size"), sum_cents=("cents", "sum"))
+        return out
+
+    return repartition_by_key(ds, ["user_id"]).map_batches(
+        sessionize, batch_format="pandas", batch_size=None
+    )
+
+
+SESSION_WINDOWS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distinct-count per group — COUNT(DISTINCT) at scale: dedup where
+# the DATA lives (each user_id's rows land in one block via the hash
+# exchange, so per-block drop_duplicates IS global dedup), then a tiny
+# keyed Sum. No hot-key skew: the exchange keys on the high-cardinality
+# side (user_id), not the handful of event_type groups.
+# ---------------------------------------------------------------------------
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact ``COUNT(DISTINCT user_id)`` per event_type. The exchange
+    partitions by user_id, so one (event_type, user_id) pair appears in
+    exactly one block → per-block distinct partials are disjoint and a
+    Sum over event_type finishes the job without ever shuffling the
+    raw events by the low-cardinality group key."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        return d.groupby("event_type", as_index=False).agg(
+            partial=("user_id", "size"))
+
+    partials = repartition_by_key(ds, ["user_id"]).map_batches(
+        distinct_partial, batch_format="pandas", batch_size=None)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("partial", "sum"))
+
+    # partials are ≤ blocks × |event_type| rows — coalesce (NOT a second
+    # shuffle: a groupby here would inherit the exchange's HASH_SHUFFLE
+    # context and hold a second aggregator actor pool in the same plan,
+    # starving small clusters) and finish with one vectorized groupby
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+
+
+DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles from distributed value counts — percentile over
+# 100 TB without a global sort: when the value domain is bounded (here
+# l_quantity: 50 distinct), per-batch value-count partials + one tiny
+# keyed Sum reconstruct the exact order statistics.
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.5, 0.9)
+
+
+def quantity_quantiles(sf_dir: str):
+    """Exact per-returnflag p50/p90 of l_quantity. Shape: per-batch
+    ``value_counts`` partial (Arrow→pandas on 2 columns only) → Sum over
+    (flag, quantity) — a ≤ groups×distinct-values table — → per-flag
+    rank selection from cumulative counts. Discrete quantile rank is
+    ``ceil(q·n)`` (DuckDB ``quantile_disc`` semantics; float product is
+    exact for q ∈ {.5, .9} — error < half-ulp, verified)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+        return g.agg(cnt=("l_quantity", "size"))
+
+    counts = ds.map_batches(count_partial, batch_format="pandas").groupby(
+        ["l_returnflag", "l_quantity"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def quantiles_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            g = g.sort_values("l_quantity", kind="stable")
+            cum = g["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = g["l_quantity"].to_numpy()
+            picks = [float(vals[np.searchsorted(
+                cum, int(np.ceil(q * n)))]) for q in _QUANTILES]
+            rows.append((flag, *picks))
+        return pd.DataFrame(rows, columns=["l_returnflag", "p50_qty",
+                                           "p90_qty"])
+
+    # the counts table is ≤ flags × 50 rows — one block, one kernel
+    return counts.repartition(1).map_batches(
+        quantiles_block, batch_format="pandas", batch_size=None)
+
+
+QUANTITY_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50_qty,
+       quantile_disc(l_quantity, 0.9) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
 """

@@ -42,3 +42,17 @@ def from_pandas_clean(df) -> pa.Table:
     sees one stable, hashable schema."""
     return pa.Table.from_pandas(
         df, preserve_index=False).replace_schema_metadata(None)
+
+
+def pool_size() -> tuple[int, int]:
+    """Actor-pool (min, max) for stateless-ish map stages: pre-warm 2
+    actors on real clusters (autoscale-from-1 measurably delays short
+    sf0.1 stages: token_stats 2.6 s → 1.9 s), max a quarter of the
+    cluster CPUs so four such stages can coexist without starving the
+    wide operators.  On tiny clusters (< 16 CPUs) the floor stays at 1:
+    a pipeline with two such stages would otherwise PIN min×2 actors
+    and starve its own upstream read — a hard deadlock at 4 CPUs."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (2 if cpus >= 16 else 1, max(4, cpus // 4))

@@ -247,3 +247,9 @@ def test_stratified_sample_matches_oracle(ray_session):
         T.stratified_sample, T.STRATIFIED_SAMPLE_SQL, SF_DIR)
     df = to_pandas(T.stratified_sample(SF_DIR))
     assert (df.groupby("lang").size() <= T.STRATA_K).all()
+
+
+def test_dedup_corpus_matches_oracle(ray_session):
+    """End-to-end near-dup removal: surviving representatives with text
+    and absorbed-duplicate counts vs the closure+join DuckDB oracle."""
+    assert_query_matches(D.dedup_corpus, D.DEDUP_CORPUS_SQL, SF_DIR)

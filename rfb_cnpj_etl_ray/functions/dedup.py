@@ -732,16 +732,21 @@ def dedup_corpus(sf_dir: str, rounds: int = 8):
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+    def attach_text(df: pd.DataFrame) -> pa.Table:
         # after the shared doc_id exchange each block holds a rep row
         # and its document row iff the doc survives; inner merge per
-        # block IS the global join
+        # block IS the global join. Declared-Arrow output: an EMPTY
+        # pandas object column would otherwise break Ray's block size
+        # estimation ("cannot call vectorize on size 0 inputs")
         left = df[df["group_size"].notna()][["doc_id", "group_size"]]
         right = df[df["group_size"].isna()][["doc_id", "text"]]
         out = left.merge(right, on="doc_id", how="inner")
-        out["n_chars"] = out["text"].str.len().astype("int64")
-        out["group_size"] = out["group_size"].astype("int64")
-        return out[["doc_id", "text", "n_chars", "group_size"]]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "n_chars": pa.array(out["text"].str.len(), pa.int64()),
+            "group_size": pa.array(out["group_size"], pa.int64()),
+        })
 
     # both sides must present ONE declared schema to the union + shuffle
     # (an all-null pandas object column would otherwise infer null type)

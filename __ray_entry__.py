@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences,
         "top_tokens": T.top_tokens,
         "stratified_sample": T.stratified_sample,
+        "tfidf_top_terms": T.tfidf_top_terms,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": T.PACK_SEQUENCES_SQL,
         "top_tokens": T.TOP_TOKENS_SQL,
         "stratified_sample": T.STRATIFIED_SAMPLE_SQL,
+        "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "embedding_near_dup": D.EMBEDDING_NEAR_DUP_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,

@@ -549,3 +549,122 @@ SELECT doc_id, lang FROM (
   FROM documents
 ) WHERE rn <= {STRATA_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-document top term against a corpus-wide document frequency
+# ---------------------------------------------------------------------------
+
+_IDF_SCALE = 1000
+_WORD_RE = "[A-Za-z]+"
+
+
+def _doc_words(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids repeated per word, flat lowercased word buffer) for a
+    batch — one findall + one concatenate, no per-row Python."""
+    words = batch["text"].str.findall(_WORD_RE)
+    counts = words.str.len().to_numpy(dtype=np.int64)
+    if not counts.sum():
+        return (np.array([], dtype=np.int64), np.array([], dtype=object))
+    flat = np.concatenate(
+        [np.char.lower(np.asarray(w, dtype=str)) for w in words if len(w)]
+    ).astype(object)
+    doc_rep = np.repeat(batch["doc_id"].to_numpy(), counts)
+    return doc_rep, flat
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-document highest-TF-IDF term (linear idf, integer-exact).
+
+    Two streaming passes, the canonical small-side-broadcast shape:
+
+    1. **df pass** — per batch, distinct (doc, word) pairs reduce to
+       partial document frequencies; a vocabulary-sized ``groupby`` sums
+       them. The vocabulary is sub-linear in corpus size (bounded by the
+       language, ~10^7 terms at 100 TB), so the resulting idf map is a
+       broadcast table (``ray.put`` once, read per actor), never a
+       per-row shuffle. (If the vocab ever outgrew a broadcast, the same
+       score is one keyed exchange on ``word`` — documented fallback.)
+    2. **score pass** — per batch, term frequencies via one vectorized
+       groupby over the flat word buffer; scores looked up from the
+       broadcast map; per-doc argmax (ties → lexicographically smallest
+       term) entirely inside the block, since a document never spans
+       batches.
+
+    Score is integer-exact on both engines: ``tf * ((N * 1000) // df)``
+    — a linear idf variant chosen over ``log(N/df)`` so no libm ulp can
+    diverge between numpy and SQL.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_rep, flat = _doc_words(batch)
+        if not flat.size:
+            return pd.DataFrame({"w": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"doc_id": doc_rep, "w": flat})
+        distinct = pairs.drop_duplicates()
+        g = distinct.groupby("w", sort=False).size().reset_index(name="df")
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("w").aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    idf = {w: (n_docs * _IDF_SCALE) // int(d)
+           for w, d in zip(df_tbl["w"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    class Score:
+        def __init__(self, ref):
+            self.idf = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            doc_rep, flat = _doc_words(batch)
+            if not flat.size:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "top_term": pd.Series([], dtype="object"),
+                    "score": pd.Series([], dtype="int64")})
+            tf = (pd.DataFrame({"doc_id": doc_rep, "w": flat})
+                  .groupby(["doc_id", "w"], sort=False)
+                  .size().reset_index(name="tf"))
+            tf["score"] = (tf["tf"].to_numpy(dtype=np.int64)
+                           * tf["w"].map(self.idf).to_numpy(dtype=np.int64))
+            tf = tf.sort_values(["doc_id", "score", "w"],
+                                ascending=[True, False, True], kind="stable")
+            out = tf.drop_duplicates("doc_id", keep="first")
+            return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                                 "top_term": out["w"],
+                                 "score": out["score"].astype("int64")})
+
+    return docs.map_batches(Score, fn_constructor_kwargs={"ref": idf_ref},
+                            batch_format="pandas", concurrency=_pool())
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, lower(w) AS w
+  FROM documents, unnest(regexp_extract_all(text, '{_WORD_RE}')) AS t(w)
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, w AS top_term, CAST(score AS BIGINT) AS score FROM (
+  SELECT tf.doc_id, tf.w,
+         tf.tf * ((n.n * {_IDF_SCALE}) // df.df) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((n.n * {_IDF_SCALE}) // df.df) DESC, tf.w ASC
+         ) AS rn
+  FROM tf JOIN df USING (w) CROSS JOIN n
+) WHERE rn = 1
+"""

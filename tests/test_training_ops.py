@@ -253,3 +253,8 @@ def test_dedup_corpus_matches_oracle(ray_session):
     """End-to-end near-dup removal: surviving representatives with text
     and absorbed-duplicate counts vs the closure+join DuckDB oracle."""
     assert_query_matches(D.dedup_corpus, D.DEDUP_CORPUS_SQL, SF_DIR)
+
+
+def test_tfidf_top_terms_matches_oracle(ray_session):
+    """Per-doc top TF-IDF term: broadcast idf map + in-block argmax."""
+    assert_query_matches(T.tfidf_top_terms, T.TFIDF_TOP_TERMS_SQL, SF_DIR)

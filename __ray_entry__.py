@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_per_order": R.parts_per_order,
         "top_orders": R.top_orders,
         "hourly_user_activity": R.hourly_user_activity,
+        "incremental_hourly_activity": R.incremental_hourly_activity,
         "sliding_user_activity": R.sliding_user_activity,
         "top_orders_per_customer": R.top_orders_per_customer,
         "lagged_events": R.lagged_events,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_per_order": R.PARTS_PER_ORDER_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "hourly_user_activity": R.HOURLY_USER_ACTIVITY_SQL,
+        "incremental_hourly_activity": R.INCREMENTAL_HOURLY_ACTIVITY_SQL,
         "sliding_user_activity": R.SLIDING_USER_ACTIVITY_SQL,
         "top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
         "lagged_events": R.LAGGED_EVENTS_SQL,

@@ -535,6 +535,44 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
 # event-time windowed aggregate (streaming-shaped, SURVEY §2.6)
 # ---------------------------------------------------------------------------
 
+_HOURLY_PARTIAL_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("hour", pa.timestamp("us")),
+    ("n_events", pa.int64()), ("sum_cents", pa.int64()),
+])
+
+
+def _hourly_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial of the hourly view: floor ts → hour, exact
+    integer-cent sums, one vectorized groupby. Emits timestamp[us] so
+    partials from different sources (raw events vs a parquet-spilled
+    view) always union with one schema."""
+    if batch.num_rows == 0:
+        return _HOURLY_PARTIAL_SCHEMA.empty_table()
+    hour = pc.cast(
+        pc.floor_temporal(batch.column("ts"), unit="hour"),
+        pa.timestamp("us"))
+    # integer-cent sums: exact partials, engine-neutral (no
+    # summation-order ROUND boundary flips at high group counts)
+    # half_towards_infinity pins DuckDB round()'s half-away rule
+    # (Arrow defaults to half-to-even) — ADVICE r2
+    cents = pc.cast(pc.round(
+        pc.multiply(batch.column("value"), 100.0),
+        round_mode="half_towards_infinity"), pa.int64())
+    out = pa.table(
+        {"user_id": batch.column("user_id"), "hour": hour,
+         "cents": cents}
+    )
+    df = out.to_pandas()
+    g = df.groupby(["user_id", "hour"], as_index=False).agg(
+        n_events=("cents", "size"), sum_cents=("cents", "sum")
+    )
+    # strip the pandas schema metadata (a dict): Ray hashes
+    # block schemas for plan dedup and warns on unhashable
+    # metadata / per-block metadata drift
+    return pa.Table.from_pandas(
+        g, preserve_index=False).replace_schema_metadata(None)
+
+
 def hourly_user_activity(sf_dir: str):
     """Tumbling 1h event-time windows per user: floor the timestamp in a
     vectorized kernel, then partial-reduce + groupby — Ray Data has no
@@ -542,30 +580,8 @@ def hourly_user_activity(sf_dir: str):
     assumption: none needed for a tumbling count/sum)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        # integer-cent sums: exact partials, engine-neutral (no
-        # summation-order ROUND boundary flips at high group counts)
-        # half_towards_infinity pins DuckDB round()'s half-away rule
-        # (Arrow defaults to half-to-even) — ADVICE r2
-        cents = pc.cast(pc.round(
-            pc.multiply(batch.column("value"), 100.0),
-            round_mode="half_towards_infinity"), pa.int64())
-        out = pa.table(
-            {"user_id": batch.column("user_id"), "hour": hour,
-             "cents": cents}
-        )
-        df = out.to_pandas()
-        g = df.groupby(["user_id", "hour"], as_index=False).agg(
-            n_events=("cents", "size"), sum_cents=("cents", "sum")
-        )
-        # strip the pandas schema metadata (a dict): Ray hashes
-        # block schemas for plan dedup and warns on unhashable
-        # metadata / per-block metadata drift
-        return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
-
-    partials = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(
+        _hourly_partial, batch_format="pyarrow", zero_copy_batch=True)
     from ray.data.aggregate import Sum
 
     out = partials.groupby(["user_id", "hour"]).aggregate(
@@ -595,6 +611,83 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance (the CDC north rule applied
+# to aggregates: epoch-at-a-time refresh folding deltas into view state)
+# ---------------------------------------------------------------------------
+
+VIEW_EPOCHS = 4  # power of two: epoch = event_id & (N-1) filters vectorized
+
+
+def incremental_hourly_activity(sf_dir: str):
+    """The hourly view maintained INCREMENTALLY across event epochs.
+
+    CDC-for-aggregates: events arrive in ``VIEW_EPOCHS`` batches; each
+    refresh folds that epoch's per-block PARTIAL aggregates into the
+    compacted view state. Prior epochs' raw events are never re-read —
+    only the view, which is |users|×|hours| rows, orders of magnitude
+    smaller than the 10^10-event log at scale. The view checkpoints to
+    partitioned parquet between epochs (same resumability recipe as the
+    lake's commit-log ingest), so a crashed refresh restarts from the
+    last epoch boundary, not from the raw log. Counts/sums form a
+    commutative monoid, so the fold IS the merge — no LWW tie-breaks
+    needed. Final state is provably equal to a full recompute: the
+    oracle is the very same ``HOURLY_USER_ACTIVITY_SQL``.
+
+    Scale shape per epoch: one streaming pass over 1/N of the events
+    (partials shrink blocks to the view's cardinality) → union with the
+    view read (column-complete, small) → ONE keyed groupby at view
+    cardinality → parquet spill. No full-log shuffle ever happens.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ray.data.aggregate import Sum
+
+    scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
+               / "rfb_cnpj_etl_ray" / "incr_view" / Path(sf_dir).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    prev: Path | None = None
+    view = None
+    for ep in range(VIEW_EPOCHS):
+        def epoch_partial(batch: pa.Table, _ep: int = ep) -> pa.Table:
+            mask = pc.equal(
+                pc.bit_wise_and(batch.column("event_id"), VIEW_EPOCHS - 1),
+                _ep)
+            return _hourly_partial(batch.filter(mask))
+
+        partials = _read(
+            sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+        ).map_batches(
+            epoch_partial, batch_format="pyarrow", zero_copy_batch=True)
+        if view is not None:
+            partials = partials.union(view)
+        folded = partials.groupby(["user_id", "hour"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        ).map_batches(
+            # re-pin the key's surface type: Ray's Aggregate round-trips
+            # keys through numpy and collapses the timestamp unit
+            lambda t: t.set_column(
+                t.schema.get_field_index("hour"), "hour",
+                pc.cast(t.column("hour"), pa.timestamp("us"))),
+            batch_format="pyarrow",
+        )
+        path = scratch / f"epoch_{ep}"
+        path.mkdir(parents=True, exist_ok=True)
+        folded.write_parquet(str(path))
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+        prev = path
+        view = ray.data.read_parquet(str(path))
+    return view
+
+
+INCREMENTAL_HOURLY_ACTIVITY_SQL = HOURLY_USER_ACTIVITY_SQL
 
 
 # ---------------------------------------------------------------------------

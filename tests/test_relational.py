@@ -18,6 +18,7 @@ CASES = [
     (R.parts_per_order, R.PARTS_PER_ORDER_SQL),
     (R.top_orders, R.TOP_ORDERS_SQL),
     (R.hourly_user_activity, R.HOURLY_USER_ACTIVITY_SQL),
+    (R.incremental_hourly_activity, R.INCREMENTAL_HOURLY_ACTIVITY_SQL),
     (R.session_windows, R.SESSION_WINDOWS_SQL),
     (R.distinct_users_per_type, R.DISTINCT_USERS_PER_TYPE_SQL),
     (R.quantity_quantiles, R.QUANTITY_QUANTILES_SQL),

@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": T.top_tokens,
         "stratified_sample": T.stratified_sample,
         "tfidf_top_terms": T.tfidf_top_terms,
+        "curate_corpus": T.curate_corpus,
+        "props_extract_stats": R.props_extract_stats,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
@@ -207,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": T.TOP_TOKENS_SQL,
         "stratified_sample": T.STRATIFIED_SAMPLE_SQL,
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
+        "curate_corpus": T.CURATE_CORPUS_SQL,
+        "props_extract_stats": R.PROPS_EXTRACT_STATS_SQL,
         "embedding_near_dup": D.EMBEDDING_NEAR_DUP_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,

@@ -668,3 +668,58 @@ SELECT doc_id, w AS top_term, CAST(score AS BIGINT) AS score FROM (
   FROM tf JOIN df USING (w) CROSS JOIN n
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: composed filter chain with per-document reject reasons
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_CHARS = 100
+_CURATE_MAX_DIGIT_MILLI = 50  # >5% digits → too_numeric
+_CURATE_LANGS = ("en", "fr", "es", "de")
+
+
+def curate_corpus(sf_dir: str):
+    """Web-scale curation pass: every document labeled keep / reject
+    with the FIRST failing rule (short → numeric → language), the
+    shape of a production pre-training filter chain.
+
+    One stateless ``map_batches`` — each rule is a vectorized kernel
+    (length compare, one regex count, one ``isin``), composed with
+    ``np.select`` so rule precedence is data-independent. No shuffle,
+    no state: the stage streams at read bandwidth and the keep/reject
+    decision travels with the row for downstream routing (keep rows →
+    training shards, rejects → audit sink), mirroring the router's
+    multi-target pattern (reference: file→table routing,
+    db_batch_producer.py:18-28)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_chars"].to_numpy(dtype=np.int64)
+        digits = df["text"].str.count(r"[0-9]").to_numpy(dtype=np.int64)
+        digit_milli = np.where(n > 0, digits * 1000 // np.maximum(n, 1), 0)
+        status = np.select(
+            [n < _CURATE_MIN_CHARS,
+             digit_milli >= _CURATE_MAX_DIGIT_MILLI,
+             ~df["lang"].isin(_CURATE_LANGS).to_numpy()],
+            ["too_short", "too_numeric", "bad_lang"],
+            default="keep",
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "status": status})
+
+    return docs.map_batches(classify, batch_format="pandas")
+
+
+CURATE_CORPUS_SQL = f"""
+SELECT doc_id,
+       CASE
+         WHEN n_chars < {_CURATE_MIN_CHARS} THEN 'too_short'
+         WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000
+              // greatest(n_chars, 1) >= {_CURATE_MAX_DIGIT_MILLI}
+              THEN 'too_numeric'
+         WHEN lang NOT IN ('en', 'fr', 'es', 'de') THEN 'bad_lang'
+         ELSE 'keep'
+       END AS status
+FROM documents
+"""

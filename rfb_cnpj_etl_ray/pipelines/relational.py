@@ -1073,3 +1073,56 @@ SELECT l_returnflag,
        quantile_disc(l_quantity, 0.9) AS p90_qty
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: JSON props column → typed stats
+# ---------------------------------------------------------------------------
+
+_PROPS_K_RE = r'"k":\s*(?P<k>-?\d+)'
+
+
+def props_extract_stats(sf_dir: str):
+    """Per-event-type stats over a field extracted from the JSON
+    ``props`` string — the semi-structured hop every event pipeline has.
+
+    Extraction is ONE compiled-regex Arrow kernel per block
+    (``pc.extract_regex`` → ``struct_field`` → cast), never a per-row
+    ``json.loads``; partials reduce each block to ≤|event_type| rows
+    before the (tiny) global groupby, so the exchange moves a handful of
+    rows per block regardless of event volume."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), _PROPS_K_RE)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        tbl = pa.table({"event_type": batch.column("event_type"), "k": k})
+        g = pa.TableGroupBy(tbl, "event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return g.rename_columns(
+            ["event_type", "n_with_k", "sum_k", "min_k", "max_k"])
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("event_type").aggregate(
+        Sum("n_with_k", alias_name="n_with_k"),
+        Sum("sum_k", alias_name="sum_k"),
+        Min("min_k", alias_name="min_k"),
+        Max("max_k", alias_name="max_k"),
+    )
+
+
+PROPS_EXTRACT_STATS_SQL = r"""
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type
+"""

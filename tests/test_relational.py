@@ -22,6 +22,7 @@ CASES = [
     (R.session_windows, R.SESSION_WINDOWS_SQL),
     (R.distinct_users_per_type, R.DISTINCT_USERS_PER_TYPE_SQL),
     (R.quantity_quantiles, R.QUANTITY_QUANTILES_SQL),
+    (R.props_extract_stats, R.PROPS_EXTRACT_STATS_SQL),
 ]
 
 

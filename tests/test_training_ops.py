@@ -258,3 +258,11 @@ def test_dedup_corpus_matches_oracle(ray_session):
 def test_tfidf_top_terms_matches_oracle(ray_session):
     """Per-doc top TF-IDF term: broadcast idf map + in-block argmax."""
     assert_query_matches(T.tfidf_top_terms, T.TFIDF_TOP_TERMS_SQL, SF_DIR)
+
+
+def test_curate_corpus_matches_oracle(ray_session):
+    """Composed filter chain with first-match reject reasons."""
+    assert_query_matches(T.curate_corpus, T.CURATE_CORPUS_SQL, SF_DIR)
+    df = to_pandas(T.curate_corpus(SF_DIR))
+    assert set(df["status"]).issubset(
+        {"keep", "too_short", "too_numeric", "bad_lang"})

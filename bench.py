@@ -63,6 +63,9 @@ QUERY_NAMES = [
     # CNPJ lake (fixture load is cached per sf_dir; best-of-2 times the
     # warm query, the first repeat absorbs the one-time load)
     "cnpj_estabelecimento_report",
+    # round-3: incremental view maintenance + broadcast-idf TF-IDF
+    "incremental_hourly_activity",
+    "tfidf_top_terms",
 ]
 
 

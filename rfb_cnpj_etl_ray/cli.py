@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--log-dir", default=None)
     sp.add_argument("--table", default="sequences")
 
+    sp = sub.add_parser(
+        "lineage",
+        help="per-partition audit trail: epochs/segments behind each file")
+    sp.add_argument("lake")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--part", type=int, default=None)
+
     sp = sub.add_parser("compact", help="tombstone GC below an LSN watermark")
     sp.add_argument("lake")
     sp.add_argument("--table", default="sequences")
@@ -137,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
                              seed=args.seed)
         print(json.dumps({"out": str(root), "docs": args.docs,
                           "events": args.events}))
+        return 0
+
+    if args.cmd == "lineage":  # commit-log walk only — no Ray needed
+        from rfb_cnpj_etl_ray.pipelines.maintenance import partition_lineage
+
+        print(json.dumps(partition_lineage(
+            args.lake, table=args.table, part=args.part), indent=2))
         return 0
 
     import ray

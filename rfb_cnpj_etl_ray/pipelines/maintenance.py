@@ -18,6 +18,7 @@ trade; the reference has no deletes at all, it drops the whole DB).
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -502,3 +503,50 @@ def compact(lake_dir: str | Path, table: str = "sequences",
     })
     return {"epoch": epoch, "watermark_lsn": int(watermark_lsn),
             "tombstones_dropped": dropped}
+
+
+# ---------------------------------------------------------------------------
+# per-partition lineage: which epochs/segments produced each partition
+# ---------------------------------------------------------------------------
+
+def partition_lineage(lake_dir: str | Path, table: str = "sequences",
+                      part: int | None = None) -> dict:
+    """Walk the commit log and reconstruct, per partition, the chain of
+    epochs that changed it — file written, row/LSN watermarks, events
+    applied and the log segments that fed that epoch.
+
+    This is the audit trail the north rule's "per-partition lineage"
+    asks for: every byte in the lake traces to (epoch → segment set →
+    partition file), all from the commit records alone — no data files
+    are opened, so the call is O(commits), not O(data).
+    """
+    log = CommitLog(Path(lake_dir) / table)
+    records = [json.loads(p.read_text()) for p in log.commits()]
+    if not records:
+        raise RuntimeError(f"no commits for table {table!r} in {lake_dir}")
+    chains: dict[str, list[dict]] = {}
+    prev_parts: dict = {}
+    for rec in records:
+        seg_new = rec.get("metrics", {}).get("segments_this_epoch", [])
+        for pkey, info in rec.get("partitions", {}).items():
+            if part is not None and int(pkey) != part:
+                continue
+            if prev_parts.get(pkey) == info:
+                continue  # untouched this epoch
+            chains.setdefault(pkey, []).append({
+                "epoch": rec["epoch"],
+                "file": info.get("file"),
+                "deltas": info.get("deltas", []),
+                "rows": info.get("rows"),
+                "lsn_high": info.get("lsn_high"),
+                "events_applied": info.get("events_applied"),
+                "segments_this_epoch": seg_new,
+            })
+        prev_parts = rec.get("partitions", {})
+    head = records[-1]
+    return {
+        "table": table,
+        "head_epoch": head["epoch"],
+        "num_partitions": head["num_partitions"],
+        "partitions": chains,
+    }

@@ -397,3 +397,22 @@ def test_gc_snapshots_spares_live_writer_files(ray_session, tmp_path):
     assert not old_tmp.exists(), "crashed-writer tmp debris survived"
     future.unlink()
     fresh_tmp.unlink()
+
+
+def test_partition_lineage_walks_commit_chain(ray_session, tmp_path):
+    """Every partition's audit trail: init epoch + the ingest epoch that
+    applied events, with segment provenance and monotone rows/lsn."""
+    from rfb_cnpj_etl_ray.pipelines.maintenance import partition_lineage
+
+    *_, lake, cfg = _mk_lake(tmp_path)
+    lin = partition_lineage(lake)
+    assert lin["head_epoch"] == 1 and lin["num_partitions"] == 4
+    assert set(lin["partitions"]) == {"0", "1", "2", "3"}
+    for chain in lin["partitions"].values():
+        assert chain[0]["epoch"] == 0  # init
+        last = chain[-1]
+        assert last["epoch"] == 1 and last["events_applied"] > 0
+        assert last["segments_this_epoch"]  # segment provenance recorded
+    # single-partition filter returns just that chain
+    only = partition_lineage(lake, part=2)
+    assert list(only["partitions"]) == ["2"]

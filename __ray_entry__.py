@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": D.embedding_near_dup,
         "ann_topk": S.ann_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
+        "knn_graph": S.knn_graph,
         "multimodal_features": M.multimodal_features,
         "multimodal_wav_decode": M.multimodal_wav_decode,
     }
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_groups": D.MINHASH_DEDUP_GROUPS_SQL,
         "dedup_corpus": D.DEDUP_CORPUS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
+        "knn_graph": S.KNN_GRAPH_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
         # omitted on purpose (rows-only): cdc_ingest_final_state

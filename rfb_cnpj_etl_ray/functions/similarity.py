@@ -193,3 +193,95 @@ def ann_ivf_topk(sf_dir: str):
         batch_format="pandas", concurrency=_pool(),
     )
     return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph: every vector's k nearest neighbors (the all-pairs variant)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph(sf_dir: str, k: int = KNN_K):
+    """Cosine k-NN graph over the embedding table — the dedup/cluster
+    building block (each vector → its ``k`` nearest others, ranked).
+
+    Shape: the corpus matrix broadcasts ONCE (``ray.put``; N×64 floats —
+    at 100 TB the broadcast side is replaced by the IVF router below,
+    probing only nearest-centroid buckets, same ``__call__`` body), then
+    every batch computes one (batch×N) matmul and keeps k rows per
+    vector. Ranking is on the ROUNDED similarity (4 decimals, both
+    engines) with vec_id tie-break, so float summation order can never
+    flip a rank; the per-row top-k uses a packed int64 sort key
+    (similarity milli-units × 2^32 + neighbor id) — one ``np.partition``
+    + one small sort per batch, no Python loops."""
+    # broadcast-side build: column-pruned read of (vec_id, embedding)
+    # only — the brute-force contract is that the REFERENCE side fits
+    # the object store (same contract as every broadcast join here);
+    # when it doesn't, ann_ivf_topk's router replaces this broadcast
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_numpy(zero_copy_only=False)])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    corpus_ref = ray.put((ids, m))
+
+    class Neighbors:
+        def __init__(self, ref, k):
+            self.ids, self.m = ray.get(ref)  # once per actor
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            simr = np.round(q @ self.m.T, 4)  # (B, N), 4-decimal pinned
+            # packed descending-sim / ascending-id key: int64 is exact
+            # (sim milli ≤ 2×10^4 → high word; ids < 2^31 → low word)
+            # rint, not a cast: 0.2563*10⁴ is 2562.999… in binary
+            milli = np.rint(simr * 10_000).astype(np.int64)
+            key = ((10_000 - milli) << 32) \
+                + self.ids.astype(np.int64)[None, :]
+            # self-exclusion: push own id past any real key
+            self_mask = batch["vec_id"].to_numpy()[:, None] == self.ids[None, :]
+            key = np.where(self_mask, np.int64(2**62), key)
+            kk = min(self.k, key.shape[1] - 1)
+            part = np.partition(key, kk - 1, axis=1)[:, :kk]
+            part.sort(axis=1)
+            neigh = (part & 0xFFFFFFFF).astype(np.int64)
+            sim = (10_000 - (part >> 32)).astype(np.float64) / 10_000
+            b = part.shape[0]
+            return pd.DataFrame({
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), kk)
+                .astype("int64"),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), b),
+                "neighbor_id": neigh.reshape(-1),
+                "cosine": sim.reshape(-1),
+            })
+
+    ds = _read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(Neighbors,
+                          fn_constructor_kwargs={"ref": corpus_ref, "k": k},
+                          batch_format="pandas", concurrency=_pool())
+
+
+KNN_GRAPH_SQL = f"""
+SELECT vec_id, rank, neighbor_id, cosine FROM (
+  SELECT a.vec_id,
+         b.vec_id AS neighbor_id,
+         ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+                    AS DOUBLE), 4) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+                               AS DOUBLE), 4) DESC, b.vec_id ASC
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= {KNN_K}
+"""

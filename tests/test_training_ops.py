@@ -266,3 +266,9 @@ def test_curate_corpus_matches_oracle(ray_session):
     df = to_pandas(T.curate_corpus(SF_DIR))
     assert set(df["status"]).issubset(
         {"keep", "too_short", "too_numeric", "bad_lang"})
+
+
+def test_knn_graph_matches_oracle(ray_session):
+    """All-pairs cosine k-NN graph vs the windowed-rank DuckDB oracle."""
+    from rfb_cnpj_etl_ray.functions import similarity as S
+    assert_query_matches(S.knn_graph, S.KNN_GRAPH_SQL, SF_DIR)

@@ -640,6 +640,11 @@ def incremental_hourly_activity(sf_dir: str):
     (partials shrink blocks to the view's cardinality) → union with the
     view read (column-complete, small) → ONE keyed groupby at view
     cardinality → parquet spill. No full-log shuffle ever happens.
+
+    The epoch split itself is ONE routed pass (hive-partitioned write on
+    ``epoch = event_id & (N-1)``), standing in for the separate arrivals
+    a real log delivers — so each refresh then reads only its own
+    epoch's files (partition-pruned), exactly like tailing segments.
     """
     import os
     import shutil
@@ -651,19 +656,27 @@ def incremental_hourly_activity(sf_dir: str):
                / "rfb_cnpj_etl_ray" / "incr_view" / Path(sf_dir).name)
     shutil.rmtree(scratch, ignore_errors=True)
 
+    # arrival simulation: route the log into per-epoch directories once
+    arrivals = scratch / "arrivals"
+
+    def route(batch: pa.Table) -> pa.Table:
+        ep = pc.bit_wise_and(batch.column("event_id"), VIEW_EPOCHS - 1)
+        return batch.append_column("epoch", pc.cast(ep, pa.int64()))
+
+    _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(arrivals), partition_cols=["epoch"])
+
     prev: Path | None = None
     view = None
     for ep in range(VIEW_EPOCHS):
-        def epoch_partial(batch: pa.Table, _ep: int = ep) -> pa.Table:
-            mask = pc.equal(
-                pc.bit_wise_and(batch.column("event_id"), VIEW_EPOCHS - 1),
-                _ep)
-            return _hourly_partial(batch.filter(mask))
-
-        partials = _read(
-            sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+        partials = ray.data.read_parquet(
+            str(arrivals / f"epoch={ep}"),
+            columns=["user_id", "ts", "value"],
         ).map_batches(
-            epoch_partial, batch_format="pyarrow", zero_copy_batch=True)
+            _hourly_partial, batch_format="pyarrow", zero_copy_batch=True)
         if view is not None:
             partials = partials.union(view)
         folded = partials.groupby(["user_id", "hour"]).aggregate(
@@ -684,6 +697,7 @@ def incremental_hourly_activity(sf_dir: str):
             shutil.rmtree(prev, ignore_errors=True)
         prev = path
         view = ray.data.read_parquet(str(path))
+    shutil.rmtree(arrivals, ignore_errors=True)  # log consumed
     return view
 
 

@@ -621,7 +621,7 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 VIEW_EPOCHS = 4  # power of two: epoch = event_id & (N-1) filters vectorized
 
 
-def incremental_hourly_activity(sf_dir: str):
+def incremental_hourly_activity(sf_dir: str, resume: bool = False):
     """The hourly view maintained INCREMENTALLY across event epochs.
 
     CDC-for-aggregates: events arrive in ``VIEW_EPOCHS`` batches; each
@@ -630,8 +630,11 @@ def incremental_hourly_activity(sf_dir: str):
     only the view, which is |users|×|hours| rows, orders of magnitude
     smaller than the 10^10-event log at scale. The view checkpoints to
     partitioned parquet between epochs (same resumability recipe as the
-    lake's commit-log ingest), so a crashed refresh restarts from the
-    last epoch boundary, not from the raw log. Counts/sums form a
+    lake's commit-log ingest): with ``resume=True`` a crashed refresh
+    restarts from the last completed epoch's ``_DONE``-marked
+    checkpoint, not from the raw log (default ``False`` rebuilds from
+    scratch so repeated query/bench calls stay comparable; the resume
+    path is exercised by its own test). Counts/sums form a
     commutative monoid, so the fold IS the merge — no LWW tie-breaks
     needed. Final state is provably equal to a full recompute: the
     oracle is the very same ``HOURLY_USER_ACTIVITY_SQL``.
@@ -654,7 +657,8 @@ def incremental_hourly_activity(sf_dir: str):
 
     scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
                / "rfb_cnpj_etl_ray" / "incr_view" / Path(sf_dir).name)
-    shutil.rmtree(scratch, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(scratch, ignore_errors=True)
 
     # arrival simulation: route the log into per-epoch directories once
     arrivals = scratch / "arrivals"
@@ -663,15 +667,28 @@ def incremental_hourly_activity(sf_dir: str):
         ep = pc.bit_wise_and(batch.column("event_id"), VIEW_EPOCHS - 1)
         return batch.append_column("epoch", pc.cast(ep, pa.int64()))
 
-    _read(
-        sf_dir, "events", ["event_id", "user_id", "ts", "value"]
-    ).map_batches(
-        route, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(str(arrivals), partition_cols=["epoch"])
+    if not (arrivals / "_DONE").exists():
+        shutil.rmtree(arrivals, ignore_errors=True)
+        _read(
+            sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+        ).map_batches(
+            route, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(str(arrivals), partition_cols=["epoch"])
+        (arrivals / "_DONE").touch()
 
-    prev: Path | None = None
-    view = None
-    for ep in range(VIEW_EPOCHS):
+    # resume: the newest _DONE-marked checkpoint already folds every
+    # epoch up to and including its own — restart AFTER it (earlier
+    # checkpoints were rolled away; a half-written dir has no marker)
+    start = -1
+    if resume:
+        start = max((ep for ep in range(VIEW_EPOCHS)
+                     if (scratch / f"epoch_{ep}" / "_DONE").exists()),
+                    default=-1)
+
+    prev: Path | None = scratch / f"epoch_{start}" if start >= 0 else None
+    view = (ray.data.read_parquet(str(prev), file_extensions=["parquet"])
+            if prev is not None else None)
+    for ep in range(start + 1, VIEW_EPOCHS):
         partials = ray.data.read_parquet(
             str(arrivals / f"epoch={ep}"),
             columns=["user_id", "ts", "value"],
@@ -691,12 +708,14 @@ def incremental_hourly_activity(sf_dir: str):
             batch_format="pyarrow",
         )
         path = scratch / f"epoch_{ep}"
+        shutil.rmtree(path, ignore_errors=True)  # half-written leftovers
         path.mkdir(parents=True, exist_ok=True)
         folded.write_parquet(str(path))
+        (path / "_DONE").touch()  # checkpoint commit point
         if prev is not None:
             shutil.rmtree(prev, ignore_errors=True)
         prev = path
-        view = ray.data.read_parquet(str(path))
+        view = ray.data.read_parquet(str(path), file_extensions=["parquet"])
     shutil.rmtree(arrivals, ignore_errors=True)  # log consumed
     return view
 

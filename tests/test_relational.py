@@ -71,3 +71,31 @@ def test_sliding_user_activity_matches_oracle(ray_session):
 def test_top_orders_per_customer_matches_oracle(ray_session):
     assert_query_matches(R.top_orders_per_customer,
                          R.TOP_ORDERS_PER_CUSTOMER_SQL, SF_DIR)
+
+
+def test_incremental_view_resumes_from_checkpoint(ray_session, tmp_path, monkeypatch):
+    """resume=True restarts from the newest _DONE checkpoint: after a
+    completed run (only the final checkpoint and no arrivals remain on
+    the scratch path), a resumed call must return the oracle-correct
+    view WITHOUT re-reading the log — any recompute attempt would fail
+    on the deleted arrivals directory."""
+    import shutil
+    from pathlib import Path
+
+    from tests.util_compare import assert_query_matches
+
+    monkeypatch.setenv("GRAFT_TMP", str(tmp_path))
+    scratch = tmp_path / "rfb_cnpj_etl_ray" / "incr_view" / Path(SF_DIR).name
+
+    # cold start with resume=True (no state): builds from scratch
+    assert_query_matches(
+        lambda sf: R.incremental_hourly_activity(sf, resume=True),
+        R.INCREMENTAL_HOURLY_ACTIVITY_SQL, SF_DIR)
+    assert (scratch / f"epoch_{R.VIEW_EPOCHS - 1}" / "_DONE").exists()
+    assert not (scratch / "arrivals").exists()  # log consumed
+
+    # warm resume: only the final checkpoint remains; recompute would
+    # need the (deleted) arrivals, so a correct answer proves the skip
+    assert_query_matches(
+        lambda sf: R.incremental_hourly_activity(sf, resume=True),
+        R.INCREMENTAL_HOURLY_ACTIVITY_SQL, SF_DIR)

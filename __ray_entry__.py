@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "curate_corpus": T.curate_corpus,
         "props_extract_stats": R.props_extract_stats,
+        "change_feed_users": R.change_feed_users,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "curate_corpus": T.CURATE_CORPUS_SQL,
         "props_extract_stats": R.PROPS_EXTRACT_STATS_SQL,
+        "change_feed_users": R.CHANGE_FEED_USERS_SQL,
         "embedding_near_dup": D.EMBEDDING_NEAR_DUP_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,

@@ -96,6 +96,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default="sequences")
     sp.add_argument("--keep-commits", type=int, default=2)
 
+    sp = sub.add_parser("changes",
+                        help="change-data feed between two committed epochs")
+    sp.add_argument("lake")
+    sp.add_argument("from_epoch", type=int)
+    sp.add_argument("to_epoch", type=int, nargs="?", default=None)
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--out-dir", default=None,
+                    help="write the feed as parquet instead of printing "
+                         "a summary")
+
     sp = sub.add_parser("export", help="export lake state through a sink")
     sp.add_argument("lake")
     sp.add_argument("out_dir")
@@ -221,6 +231,23 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(gc_snapshots(args.lake, args.table,
                                           keep_commits=args.keep_commits)))
+        elif args.cmd == "changes":
+            from rfb_cnpj_etl_ray.pipelines.ingest import lake_changes
+
+            feed = lake_changes(args.lake, args.from_epoch,
+                                to_epoch=args.to_epoch, table=args.table)
+            if args.out_dir:
+                feed.write_parquet(args.out_dir)
+                print(json.dumps({"out": args.out_dir}))
+            else:
+                counts: dict[str, int] = {}
+                for batch in feed.iter_batches(batch_format="pyarrow"):
+                    g = batch.group_by("change_type").aggregate(
+                        [([], "count_all")])
+                    for kind, n in zip(g.column("change_type").to_pylist(),
+                                       g.column("count_all").to_pylist()):
+                        counts[kind] = counts.get(kind, 0) + n
+                print(json.dumps({"changes": counts}))
         elif args.cmd == "export":
             from rfb_cnpj_etl_ray.sinks import export_lake
 

@@ -413,8 +413,16 @@ def read_lake(
     table: str = "sequences",
     include_tombstones: bool = False,
     columns: list[str] | None = None,
+    as_of: int | None = None,
 ) -> "ray.data.Dataset":
-    """Current committed state as a streaming Dataset (public payload view).
+    """Committed state as a streaming Dataset (public payload view).
+
+    ``as_of`` time-travels to a historical epoch's commit (the layout
+    is immutable-by-epoch, so an old commit's file list IS that
+    snapshot). Readable as long as the epoch's data files survive GC
+    (``gc_snapshots(keep_commits=K)`` retains the last K epochs); a
+    pruned epoch raises with the missing file named rather than
+    returning partial state.
 
     CoW tables stream straight off the snapshot files (with ``columns``
     pruned at the read). A table with pending deltas (write_mode="delta")
@@ -423,10 +431,16 @@ def read_lake(
     projection happens after)."""
     table_dir = Path(lake_dir) / table
     log = CommitLog(table_dir)
-    payload_schema = log.committed_schema()
+    if as_of is not None and log.commit_at(as_of) is None:
+        raise RuntimeError(
+            f"epoch {as_of} was never committed in {table_dir} "
+            f"(latest epoch: {log.latest_epoch()})")
+    payload_schema = log.committed_schema(as_of)
     int_sch = internal_schema(payload_schema)
-    if not log.has_deltas():
-        files = [str(p) for p in log.current_files().values()]
+    if as_of is not None:
+        _require_epoch_files(table_dir, log, as_of)
+    if not log.has_deltas(as_of):
+        files = [str(p) for p in log.current_files(as_of).values()]
         read_cols = None
         if columns is not None and not include_tombstones:
             need = set(columns) | {INTERNAL_DELETED}
@@ -443,7 +457,7 @@ def read_lake(
     else:
         from rfb_cnpj_etl_ray.spec import schema_to_jsonable
 
-        file_lists = log.partition_file_lists()
+        file_lists = log.partition_file_lists(as_of)
         sch_json = schema_to_jsonable(payload_schema)
         tdir = str(table_dir)
 
@@ -471,17 +485,131 @@ def read_lake(
     )
 
 
-def read_lake_table(lake_dir: str | Path, table: str = "sequences") -> pa.Table:
+def _require_epoch_files(table_dir: Path, log: "CommitLog", epoch: int) -> None:
+    """Fail fast (naming the pruned file) when a time-travel epoch's data
+    files were garbage-collected. Driver-side stat per partition — cheap
+    metadata, no data read."""
+    for rels in log.partition_file_lists(epoch).values():
+        for rel in rels:
+            if not (table_dir / rel).exists():
+                raise RuntimeError(
+                    f"epoch {epoch} is outside the GC retention window: "
+                    f"{table_dir / rel} was pruned (gc_snapshots "
+                    f"keep_commits). Latest epoch: {log.latest_epoch()}")
+
+
+def lake_changes(
+    lake_dir: str | Path,
+    from_epoch: int,
+    to_epoch: int | None = None,
+    table: str = "sequences",
+) -> "ray.data.Dataset":
+    """Change-data feed: the net per-key changes between two committed
+    epochs, as a streaming Dataset of payload rows plus a ``change_type``
+    column (``insert`` / ``update`` / ``delete``; deletes carry the
+    pre-image payload, inserts/updates the post-image).
+
+    The commit log makes this cheap at scale: only partitions whose
+    committed file list CHANGED between the two epochs are diffed — an
+    epoch that touched 3 of 4096 partitions schedules 3 tasks, each
+    folding exactly two file lists. The per-partition diff is vectorized
+    (``pc.index_in`` on doc_id + lsn compare); same ``_lsn`` implies an
+    identical payload by LWW determinism, so unchanged keys are skipped
+    without comparing values. Net semantics over the window (like Delta
+    Lake CDF reading a compacted range): an upsert later deleted inside
+    the window emits nothing.
+
+    Reference analog: the patch phase's post-hoc reconciliation
+    (db_patch.py:60-87) recomputes state destructively; the commit log's
+    immutable epochs let the engine DERIVE the difference instead."""
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    to_epoch = log.latest_epoch() if to_epoch is None else to_epoch
+    for ep in (from_epoch, to_epoch):
+        if log.commit_at(ep) is None:
+            raise RuntimeError(
+                f"epoch {ep} was never committed in {table_dir} "
+                f"(latest epoch: {log.latest_epoch()})")
+    if from_epoch > to_epoch:
+        raise ValueError(f"from_epoch {from_epoch} > to_epoch {to_epoch}")
+    payload_schema = log.committed_schema(to_epoch)
+    int_sch = internal_schema(payload_schema)
+    out_schema = pa.schema(
+        list(payload_schema) + [pa.field("change_type", pa.string())])
+    old_lists = log.partition_file_lists(from_epoch)
+    new_lists = log.partition_file_lists(to_epoch)
+    for ep in (from_epoch, to_epoch):
+        _require_epoch_files(table_dir, log, ep)
+    touched = [
+        p for p in set(old_lists) | set(new_lists)
+        if old_lists.get(p) != new_lists.get(p)
+    ]
+    if not touched:
+        return ray.data.from_arrow(out_schema.empty_table())
+    sch_json = schema_to_jsonable(payload_schema)
+    tdir = str(table_dir)
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from rfb_cnpj_etl_ray.stages.merge import (
+            INTERNAL_DELETED, INTERNAL_LSN, load_partition_state,
+            strip_internal,
+        )
+
+        isch = internal_schema(schema_from_jsonable(sch_json))
+        outs = []
+        for row in batch.to_pylist():
+            old = load_partition_state(tdir, row["old"], isch)
+            new = load_partition_state(tdir, row["new"], isch)
+            old = old.filter(pc.equal(old[INTERNAL_DELETED], False))
+            new = new.filter(pc.equal(new[INTERNAL_DELETED], False))
+            pos = pc.index_in(new["doc_id"], old["doc_id"])
+            old_lsn = pc.take(old[INTERNAL_LSN], pos)  # null where absent
+            inserted = pc.is_null(pos)
+            updated = pc.and_kleene(
+                pc.invert(inserted),
+                pc.not_equal(new[INTERNAL_LSN], old_lsn))
+            for mask, kind in ((inserted, "insert"), (updated, "update")):
+                sel = strip_internal(new.filter(pc.fill_null(mask, False)))
+                outs.append(sel.append_column(
+                    "change_type",
+                    pa.array([kind] * sel.num_rows, pa.string())))
+            gone = pc.is_null(pc.index_in(old["doc_id"], new["doc_id"]))
+            dels = strip_internal(old.filter(gone))
+            outs.append(dels.append_column(
+                "change_type",
+                pa.array(["delete"] * dels.num_rows, pa.string())))
+        return (pa.concat_tables(outs) if outs
+                else out_schema.empty_table())
+
+    items = [
+        {"part": p, "old": old_lists.get(p, []), "new": new_lists.get(p, [])}
+        for p in sorted(touched)
+    ]
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(diff, batch_format="pyarrow", batch_size=1)
+
+
+def read_lake_table(lake_dir: str | Path, table: str = "sequences",
+                    as_of: int | None = None) -> pa.Table:
     """Driver-side full read — tests/small tables only."""
     from rfb_cnpj_etl_ray.stages.merge import load_partition_state
 
     table_dir = Path(lake_dir) / table
     log = CommitLog(table_dir)
-    payload = log.committed_schema()
+    if as_of is not None:
+        if log.commit_at(as_of) is None:
+            raise RuntimeError(
+                f"epoch {as_of} was never committed in {table_dir} "
+                f"(latest epoch: {log.latest_epoch()})")
+        _require_epoch_files(table_dir, log, as_of)
+    payload = log.committed_schema(as_of)
     int_sch = internal_schema(payload)
     tables = [
         load_partition_state(str(table_dir), rels, int_sch)
-        for rels in log.partition_file_lists().values()
+        for rels in log.partition_file_lists(as_of).values()
     ]
     merged = pa.concat_tables(tables) if tables else int_sch.empty_table()
     return strip_internal(merged).sort_by([("doc_id", "ascending")])

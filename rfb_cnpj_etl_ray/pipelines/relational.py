@@ -1159,3 +1159,109 @@ FROM (
   FROM events
 ) GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Change-data feed — CDC-out through the real commit-log lake
+# ---------------------------------------------------------------------------
+
+def change_feed_users(sf_dir: str):
+    """CDC both ways through the REAL lake machinery: route the events
+    stream into a two-epoch changelog (cutoff = max(event_id)//2), ingest
+    each epoch through the commit-log lake keyed on user_id, then emit
+    ``lake_changes(epoch1, epoch2)`` — the net per-user insert/update feed
+    between the two snapshots. The oracle recomputes the same feed as two
+    LWW states at the two LSN cutoffs joined on user_id, so this checks
+    time-travel reads, the per-partition diff AND the exactly-once ingest
+    in one query. Reference analog: the patch phase's destructive
+    reconciliation (db_patch.py:60-87), derived instead of recomputed.
+
+    Scale shape: the changelog split is one streaming map + filtered
+    writes (no driver data); manifests come from parquet footers
+    (metadata-only); the diff schedules one task per TOUCHED partition.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from rfb_cnpj_etl_ray.config import EngineConfig
+    from rfb_cnpj_etl_ray.pipelines.ingest import ingest, lake_changes
+    from rfb_cnpj_etl_ray.spec import TableSpec
+    from rfb_cnpj_etl_ray.state.commitlog import init_lake
+    from rfb_cnpj_etl_ray.state.manifest import manifest_from_dir
+
+    payload = pa.schema([
+        pa.field("doc_id", pa.string()),
+        pa.field("user_id", pa.int64()),
+        pa.field("last_event_id", pa.int64()),
+        pa.field("last_event_type", pa.string()),
+        pa.field("last_value", pa.float64()),
+    ])
+    scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
+               / "rfb_cnpj_etl_ray" / "change_feed" / Path(sf_dir).name)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    cut = ds.max("event_id") // 2
+
+    def to_changelog(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.utf8_lpad(
+                pc.cast(batch.column("user_id"), pa.string()), 12, "0"),
+            "lsn": batch.column("event_id"),
+            "op": pa.array(["U"] * batch.num_rows, pa.string()),
+            "user_id": batch.column("user_id"),
+            "last_event_id": batch.column("event_id"),
+            "last_event_type": batch.column("event_type"),
+            "last_value": batch.column("value"),
+        })
+
+    log = ds.map_batches(to_changelog, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    for name, pred in (("log1", lambda t: pc.less_equal(t["lsn"], cut)),
+                       ("log2", lambda t: pc.greater(t["lsn"], cut))):
+        (log.map_batches(lambda t, p=pred: t.filter(p(t)),
+                         batch_format="pyarrow")
+            .write_parquet(str(scratch / name)))
+        manifest_from_dir(scratch / name)
+
+    lake = scratch / "lake"
+    cfg = EngineConfig(num_partitions=8)
+    init_lake(lake, TableSpec(name="user_state", schema=payload),
+              base=payload.empty_table(), num_partitions=8)
+    e1 = ingest(lake, scratch / "log1", table="user_state", cfg=cfg)["epoch"]
+    e2 = ingest(lake, scratch / "log2", table="user_state", cfg=cfg)["epoch"]
+
+    feed = lake_changes(lake, e1, e2, table="user_state")
+    return feed.select_columns(
+        ["user_id", "last_event_id", "last_event_type", "last_value",
+         "change_type"])
+
+
+CHANGE_FEED_USERS_SQL = """
+WITH cut AS (SELECT MAX(event_id) // 2 AS c FROM events),
+s1 AS (
+  SELECT user_id, event_id AS last_event_id,
+         event_type AS last_event_type, value AS last_value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) rn
+    FROM events WHERE event_id <= (SELECT c FROM cut)
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, event_id AS last_event_id,
+         event_type AS last_event_type, value AS last_value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT s2.user_id, s2.last_event_id, s2.last_event_type, s2.last_value,
+       CASE WHEN s1.user_id IS NULL THEN 'insert' ELSE 'update' END
+         AS change_type
+FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s1.last_event_id <> s2.last_event_id
+"""

@@ -86,6 +86,20 @@ class CommitLog:
             return None
         return json.loads(paths[-1].read_text())
 
+    def commit_at(self, epoch: int) -> dict | None:
+        """The commit record for ``epoch`` (None if never committed).
+        Commit JSONs are never pruned (gc_snapshots removes only data
+        files), so any historical epoch's METADATA is always readable;
+        whether its data files survive depends on the GC retention
+        window (``keep_commits``)."""
+        path = self.log_dir / f"commit-{epoch:06d}.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text())
+
+    def _commit(self, epoch: int | None) -> dict | None:
+        return self.latest() if epoch is None else self.commit_at(epoch)
+
     def latest_epoch(self) -> int:
         c = self.latest()
         return -1 if c is None else c["epoch"]
@@ -101,11 +115,12 @@ class CommitLog:
             if v["lsn_high"] is not None
         }
 
-    def current_files(self) -> dict[int, Path]:
-        """partition -> current committed base snapshot file. Entries
-        without a materialized file (holes from init_lake_distributed on
-        untouched partitions) are skipped — they hold no rows."""
-        c = self.latest()
+    def current_files(self, epoch: int | None = None) -> dict[int, Path]:
+        """partition -> committed base snapshot file (at ``epoch``, or
+        the newest commit when None). Entries without a materialized
+        file (holes from init_lake_distributed on untouched partitions)
+        are skipped — they hold no rows."""
+        c = self._commit(epoch)
         if c is None:
             return {}
         return {
@@ -114,13 +129,14 @@ class CommitLog:
             if v.get("file") is not None
         }
 
-    def partition_file_lists(self) -> dict[int, list[str]]:
-        """partition -> [base snapshot, *delta files] (relative paths).
-        The logical partition state is the LWW fold over this list
-        (merge-on-read; a cow table has single-element lists). None
-        entries (file-less holes) are filtered; an empty list means the
-        partition holds no rows and is omitted."""
-        c = self.latest()
+    def partition_file_lists(self, epoch: int | None = None) -> dict[int, list[str]]:
+        """partition -> [base snapshot, *delta files] (relative paths)
+        at ``epoch`` (newest commit when None). The logical partition
+        state is the LWW fold over this list (merge-on-read; a cow
+        table has single-element lists). None entries (file-less holes)
+        are filtered; an empty list means the partition holds no rows
+        and is omitted."""
+        c = self._commit(epoch)
         if c is None:
             return {}
         out = {}
@@ -131,12 +147,12 @@ class CommitLog:
                 out[int(k)] = rels
         return out
 
-    def has_deltas(self) -> bool:
-        c = self.latest()
+    def has_deltas(self, epoch: int | None = None) -> bool:
+        c = self._commit(epoch)
         return bool(c) and any(v.get("deltas") for v in c["partitions"].values())
 
-    def committed_schema(self) -> pa.Schema | None:
-        c = self.latest()
+    def committed_schema(self, epoch: int | None = None) -> pa.Schema | None:
+        c = self._commit(epoch)
         return None if c is None else schema_from_jsonable(c["schema"])
 
     # -- writes ------------------------------------------------------------

@@ -68,3 +68,50 @@ def select_segments(log_dir: str | Path, min_lsn_exclusive: int | None) -> list[
     return [
         s for s in segs if s["max_lsn"] is not None and s["max_lsn"] > min_lsn_exclusive
     ]
+
+
+def manifest_from_dir(log_dir: str | Path, lsn_col: str = "lsn") -> dict:
+    """Build ``manifest.json`` for a directory of parquet segments that
+    lack one (e.g. a changelog materialized by ``Dataset.write_parquet``).
+    Per-segment row counts and LSN ranges come from parquet FOOTER
+    metadata (row-group statistics) — driver-side metadata stats only,
+    no data read, so this stays O(|segments|) at any data scale. Falls
+    back to reading just the lsn column if a writer omitted statistics.
+    """
+    log_dir = Path(log_dir)
+    segs = []
+    for p in sorted(log_dir.glob("*.parquet")):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(p).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(lsn_col)
+        mins: list[int] = []
+        maxs: list[int] = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if md.num_rows and not mins:  # stats missing: one-column read
+            col = pq.read_table(p, columns=[lsn_col]).column(lsn_col)
+            mins, maxs = [pc_min_max(col)], [pc_min_max(col, "max")]
+        segs.append({
+            "name": p.name,
+            "rows": md.num_rows,
+            "min_lsn": min(mins) if mins else None,
+            "max_lsn": max(maxs) if maxs else None,
+            "bytes": p.stat().st_size,
+        })
+    manifest = {"segments": segs}
+    tmp = log_dir / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=2))
+    os.replace(tmp, log_dir / "manifest.json")
+    return manifest
+
+
+def pc_min_max(col, which: str = "min") -> int:
+    import pyarrow.compute as pc
+
+    return pc.min_max(col)[which].as_py()

@@ -23,6 +23,7 @@ CASES = [
     (R.distinct_users_per_type, R.DISTINCT_USERS_PER_TYPE_SQL),
     (R.quantity_quantiles, R.QUANTITY_QUANTILES_SQL),
     (R.props_extract_stats, R.PROPS_EXTRACT_STATS_SQL),
+    (R.change_feed_users, R.CHANGE_FEED_USERS_SQL),
 ]
 
 

@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": T.curate_corpus,
         "props_extract_stats": R.props_extract_stats,
         "change_feed_users": R.change_feed_users,
+        "replicate_user_state": R.replicate_user_state,
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
         "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": T.CURATE_CORPUS_SQL,
         "props_extract_stats": R.PROPS_EXTRACT_STATS_SQL,
         "change_feed_users": R.CHANGE_FEED_USERS_SQL,
+        "replicate_user_state": R.REPLICATE_USER_STATE_SQL,
         "embedding_near_dup": D.EMBEDDING_NEAR_DUP_SQL,
         "exact_dedup": D.EXACT_DEDUP_SQL,
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,

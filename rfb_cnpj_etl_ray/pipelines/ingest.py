@@ -503,6 +503,7 @@ def lake_changes(
     from_epoch: int,
     to_epoch: int | None = None,
     table: str = "sequences",
+    with_lsn: bool = False,
 ) -> "ray.data.Dataset":
     """Change-data feed: the net per-key changes between two committed
     epochs, as a streaming Dataset of payload rows plus a ``change_type``
@@ -519,6 +520,14 @@ def lake_changes(
     Lake CDF reading a compacted range): an upsert later deleted inside
     the window emits nothing.
 
+    ``with_lsn`` appends a ``_change_lsn`` column so the feed can be
+    re-ingested as a changelog (lake-to-lake replication): upserts carry
+    the winning row LSN; deletes carry the tombstone's LSN, or — when
+    compaction already erased the tombstone — the partition's committed
+    ``lsn_high`` at ``to_epoch``, which is ≥ the real delete LSN and
+    still < every event of any later epoch (the ingest checkpoint only
+    admits higher LSNs), so downstream LWW ordering is preserved.
+
     Reference analog: the patch phase's post-hoc reconciliation
     (db_patch.py:60-87) recomputes state destructively; the commit log's
     immutable epochs let the engine DERIVE the difference instead."""
@@ -534,8 +543,10 @@ def lake_changes(
         raise ValueError(f"from_epoch {from_epoch} > to_epoch {to_epoch}")
     payload_schema = log.committed_schema(to_epoch)
     int_sch = internal_schema(payload_schema)
-    out_schema = pa.schema(
-        list(payload_schema) + [pa.field("change_type", pa.string())])
+    out_fields = list(payload_schema) + [pa.field("change_type", pa.string())]
+    if with_lsn:
+        out_fields.append(pa.field("_change_lsn", pa.int64()))
+    out_schema = pa.schema(out_fields)
     old_lists = log.partition_file_lists(from_epoch)
     new_lists = log.partition_file_lists(to_epoch)
     for ep in (from_epoch, to_epoch):
@@ -546,6 +557,11 @@ def lake_changes(
     ]
     if not touched:
         return ray.data.from_arrow(out_schema.empty_table())
+    to_commit = log.commit_at(to_epoch) or log.latest()
+    lsn_highs = {
+        int(k): v.get("lsn_high")
+        for k, v in to_commit["partitions"].items()
+    }
     sch_json = schema_to_jsonable(payload_schema)
     tdir = str(table_dir)
 
@@ -561,9 +577,9 @@ def lake_changes(
         outs = []
         for row in batch.to_pylist():
             old = load_partition_state(tdir, row["old"], isch)
-            new = load_partition_state(tdir, row["new"], isch)
+            new_all = load_partition_state(tdir, row["new"], isch)
             old = old.filter(pc.equal(old[INTERNAL_DELETED], False))
-            new = new.filter(pc.equal(new[INTERNAL_DELETED], False))
+            new = new_all.filter(pc.equal(new_all[INTERNAL_DELETED], False))
             pos = pc.index_in(new["doc_id"], old["doc_id"])
             old_lsn = pc.take(old[INTERNAL_LSN], pos)  # null where absent
             inserted = pc.is_null(pos)
@@ -571,25 +587,154 @@ def lake_changes(
                 pc.invert(inserted),
                 pc.not_equal(new[INTERNAL_LSN], old_lsn))
             for mask, kind in ((inserted, "insert"), (updated, "update")):
-                sel = strip_internal(new.filter(pc.fill_null(mask, False)))
-                outs.append(sel.append_column(
+                hit = new.filter(pc.fill_null(mask, False))
+                sel = strip_internal(hit).append_column(
                     "change_type",
-                    pa.array([kind] * sel.num_rows, pa.string())))
+                    pa.array([kind] * hit.num_rows, pa.string()))
+                if with_lsn:
+                    sel = sel.append_column("_change_lsn", hit[INTERNAL_LSN])
+                outs.append(sel)
             gone = pc.is_null(pc.index_in(old["doc_id"], new["doc_id"]))
-            dels = strip_internal(old.filter(gone))
-            outs.append(dels.append_column(
+            hit = old.filter(gone)
+            dels = strip_internal(hit).append_column(
                 "change_type",
-                pa.array(["delete"] * dels.num_rows, pa.string())))
+                pa.array(["delete"] * hit.num_rows, pa.string()))
+            if with_lsn:
+                # tombstone LSN from the new fold; lsn_high fallback when
+                # compaction already dropped the tombstone
+                tpos = pc.index_in(hit["doc_id"], new_all["doc_id"])
+                dlsn = pc.fill_null(
+                    pc.take(new_all[INTERNAL_LSN], tpos),
+                    row["lsn_high"])
+                dels = dels.append_column(
+                    "_change_lsn", pc.cast(dlsn, pa.int64()))
+            outs.append(dels)
         return (pa.concat_tables(outs) if outs
                 else out_schema.empty_table())
 
     items = [
-        {"part": p, "old": old_lists.get(p, []), "new": new_lists.get(p, [])}
+        {"part": p, "old": old_lists.get(p, []), "new": new_lists.get(p, []),
+         "lsn_high": lsn_highs.get(p)}
         for p in sorted(touched)
     ]
     return ray.data.from_items(
         items, override_num_blocks=len(items)
     ).map_batches(diff, batch_format="pyarrow", batch_size=1)
+
+
+def replicate(
+    src_lake: str | Path,
+    dst_lake: str | Path,
+    table: str = "sequences",
+    cfg: EngineConfig | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Lake-to-lake incremental replication: CDC-out chained into CDC-in.
+
+    First call bootstraps with a SNAPSHOT (the src live state, shipped as
+    upserts carrying their original winning LSNs); later calls ship only
+    ``lake_changes(last_applied, src_latest, with_lsn=True)`` re-encoded
+    as a changelog (insert/update → U, delete → D at the tombstone LSN)
+    that the downstream lake ingests through the normal exactly-once
+    path. Duplicated shipping — crash between ingest and the state-marker
+    write, or an impatient re-run — is absorbed by the dst LSN
+    checkpoints, so the marker is an optimization, not a correctness
+    requirement. dst may use a DIFFERENT partition count than src (keys
+    re-hash on ingest).
+
+    Scale shape: incremental rounds read only the src partitions touched
+    since the marker; the shipped changelog is written by Ray
+    (streaming), its manifest from parquet footers (metadata-only); no
+    driver-side data materialization anywhere.
+
+    Reference analog: the monthly full reload (sqlite_builder.py:170-177)
+    is the degenerate form of this — re-ship everything, every time."""
+    import json as _json
+
+    from rfb_cnpj_etl_ray.state.commitlog import (
+        atomic_write_bytes,
+        init_lake,
+        load_spec,
+    )
+    from rfb_cnpj_etl_ray.state.manifest import manifest_from_dir
+    from rfb_cnpj_etl_ray.stages.merge import INTERNAL_LSN
+
+    src_dir = Path(src_lake) / table
+    src_log = CommitLog(src_dir)
+    src_epoch = src_log.latest_epoch()
+    if src_epoch < 0:
+        raise RuntimeError(f"source lake table {src_dir} not initialized")
+
+    dst_dir = Path(dst_lake) / table
+    dst_log = CommitLog(dst_dir)
+    spec = load_spec(src_lake, table)
+    if dst_log.latest() is None:
+        init_lake(dst_lake, spec, base=None,
+                  num_partitions=num_partitions
+                  or src_log.latest()["num_partitions"])
+        dst_log = CommitLog(dst_dir)
+
+    state_path = dst_dir / "_replication.json"
+    applied = (_json.loads(state_path.read_text())["src_epoch"]
+               if state_path.exists() else None)
+    if applied is not None and applied >= src_epoch:
+        return {"noop": True, "src_epoch": src_epoch, "applied": applied,
+                "mode": "up_to_date"}
+
+    ship_dir = dst_dir / "_replication_in" / f"src-epoch-{src_epoch:06d}"
+    import shutil
+
+    shutil.rmtree(ship_dir, ignore_errors=True)
+
+    payload_names = [f.name for f in spec.schema]
+    if applied is None:
+        # snapshot bootstrap: live state as upserts at original LSNs
+        snap = read_lake(src_lake, table=table, include_tombstones=True)
+
+        def to_log(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            from rfb_cnpj_etl_ray.stages.merge import (
+                INTERNAL_DELETED, INTERNAL_LSN as LSN)
+
+            live = batch.filter(
+                pc_.equal(batch[INTERNAL_DELETED], False))
+            cols = {"lsn": live[LSN],
+                    "op": pa.array(["U"] * live.num_rows, pa.string())}
+            for n in payload_names:
+                cols[n] = live[n]
+            return pa.table(cols)
+
+        mode = "snapshot"
+        feed = snap.map_batches(to_log, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        changes = lake_changes(src_lake, applied, src_epoch, table=table,
+                               with_lsn=True)
+
+        def to_log(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            is_del = pc_.equal(batch["change_type"], "delete")
+            cols = {"lsn": batch["_change_lsn"],
+                    "op": pc_.if_else(is_del, "D", "U")}
+            for n in payload_names:
+                cols[n] = batch[n]
+            return pa.table(cols)
+
+        mode = "incremental"
+        feed = changes.map_batches(to_log, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    feed.write_parquet(str(ship_dir))
+    manifest_from_dir(ship_dir)
+    report = ingest(dst_lake, ship_dir, table=table, cfg=cfg)
+    atomic_write_bytes(state_path,
+                       _json.dumps({"src_epoch": src_epoch}).encode())
+    shutil.rmtree(ship_dir, ignore_errors=True)
+    return {"noop": False, "mode": mode, "src_epoch": src_epoch,
+            "from_epoch": applied, "events_shipped": report["events_read"],
+            "dst_epoch": report["epoch"]}
 
 
 def read_lake_table(lake_dir: str | Path, table: str = "sequences",

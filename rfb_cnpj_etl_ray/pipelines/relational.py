@@ -1180,12 +1180,27 @@ def change_feed_users(sf_dir: str):
     writes (no driver data); manifests come from parquet footers
     (metadata-only); the diff schedules one task per TOUCHED partition.
     """
+    from rfb_cnpj_etl_ray.pipelines.ingest import lake_changes
+
+    lake, (e1, e2) = _build_user_state_lake(sf_dir, "change_feed")
+    feed = lake_changes(lake, e1, e2, table="user_state")
+    return feed.select_columns(
+        ["user_id", "last_event_id", "last_event_type", "last_value",
+         "change_type"])
+
+
+def _build_user_state_lake(sf_dir: str, tag: str, after_epoch=None):
+    """Route the sf events stream into a two-epoch changelog (cutoff =
+    max(event_id)//2) and ingest it into a fresh commit-log lake keyed on
+    user_id. Returns (lake_path, [epoch1, epoch2]). ``after_epoch(n,
+    lake)`` runs after each ingest — the interleave hook replication
+    needs."""
     import os
     import shutil
     from pathlib import Path
 
     from rfb_cnpj_etl_ray.config import EngineConfig
-    from rfb_cnpj_etl_ray.pipelines.ingest import ingest, lake_changes
+    from rfb_cnpj_etl_ray.pipelines.ingest import ingest
     from rfb_cnpj_etl_ray.spec import TableSpec
     from rfb_cnpj_etl_ray.state.commitlog import init_lake
     from rfb_cnpj_etl_ray.state.manifest import manifest_from_dir
@@ -1198,7 +1213,7 @@ def change_feed_users(sf_dir: str):
         pa.field("last_value", pa.float64()),
     ])
     scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
-               / "rfb_cnpj_etl_ray" / "change_feed" / Path(sf_dir).name)
+               / "rfb_cnpj_etl_ray" / tag / Path(sf_dir).name)
     shutil.rmtree(scratch, ignore_errors=True)
 
     ds = _read(sf_dir, "events",
@@ -1219,24 +1234,59 @@ def change_feed_users(sf_dir: str):
 
     log = ds.map_batches(to_changelog, batch_format="pyarrow",
                          zero_copy_batch=True)
-    for name, pred in (("log1", lambda t: pc.less_equal(t["lsn"], cut)),
-                       ("log2", lambda t: pc.greater(t["lsn"], cut))):
-        (log.map_batches(lambda t, p=pred: t.filter(p(t)),
-                         batch_format="pyarrow")
-            .write_parquet(str(scratch / name)))
-        manifest_from_dir(scratch / name)
-
     lake = scratch / "lake"
     cfg = EngineConfig(num_partitions=8)
     init_lake(lake, TableSpec(name="user_state", schema=payload),
               base=payload.empty_table(), num_partitions=8)
-    e1 = ingest(lake, scratch / "log1", table="user_state", cfg=cfg)["epoch"]
-    e2 = ingest(lake, scratch / "log2", table="user_state", cfg=cfg)["epoch"]
+    epochs = []
+    for k, pred in (("log1", lambda t: pc.less_equal(t["lsn"], cut)),
+                    ("log2", lambda t: pc.greater(t["lsn"], cut))):
+        (log.map_batches(lambda t, p=pred: t.filter(p(t)),
+                         batch_format="pyarrow")
+            .write_parquet(str(scratch / k)))
+        manifest_from_dir(scratch / k)
+        epochs.append(
+            ingest(lake, scratch / k, table="user_state", cfg=cfg)["epoch"])
+        if after_epoch is not None:
+            after_epoch(epochs[-1], lake)
+    return lake, epochs
 
-    feed = lake_changes(lake, e1, e2, table="user_state")
-    return feed.select_columns(
-        ["user_id", "last_event_id", "last_event_type", "last_value",
-         "change_type"])
+
+def replicate_user_state(sf_dir: str):
+    """End-to-end CDC chaining: the two-epoch user-state lake is
+    REPLICATED into a second lake after each epoch — a snapshot bootstrap
+    (original LSNs preserved), then an incremental round shipping only
+    ``lake_changes`` re-encoded as a changelog. The query returns the
+    DOWNSTREAM lake's live state, so the oracle (plain LWW latest-event
+    per user) transitively checks feed encoding, LSN preservation and the
+    downstream exactly-once ingest. The downstream lake deliberately uses
+    a different partition count (keys re-hash on ingest)."""
+    from rfb_cnpj_etl_ray.pipelines.ingest import read_lake, replicate
+
+    dst = {}
+
+    def ship(_epoch: int, lake) -> None:
+        dst["path"] = lake.parent / "dst_lake"
+        replicate(lake.parent / "lake", dst["path"], table="user_state",
+                  num_partitions=4)
+
+    _build_user_state_lake(sf_dir, "replicate", after_epoch=ship)
+    out = read_lake(dst["path"], table="user_state")
+    return out.select_columns(
+        ["user_id", "last_event_id", "last_event_type", "last_value"])
+
+
+REPLICATE_USER_STATE_SQL = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       value      AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
 
 
 CHANGE_FEED_USERS_SQL = """

@@ -24,6 +24,7 @@ CASES = [
     (R.quantity_quantiles, R.QUANTITY_QUANTILES_SQL),
     (R.props_extract_stats, R.PROPS_EXTRACT_STATS_SQL),
     (R.change_feed_users, R.CHANGE_FEED_USERS_SQL),
+    (R.replicate_user_state, R.REPLICATE_USER_STATE_SQL),
 ]
 
 

@@ -106,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="write the feed as parquet instead of printing "
                          "a summary")
 
+    sp = sub.add_parser("replicate",
+                        help="incrementally replicate one lake into another")
+    sp.add_argument("src_lake")
+    sp.add_argument("dst_lake")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--num-partitions", type=int, default=None,
+                    help="dst partition count on first replication "
+                         "(default: same as src)")
+
     sp = sub.add_parser("export", help="export lake state through a sink")
     sp.add_argument("lake")
     sp.add_argument("out_dir")
@@ -248,6 +257,12 @@ def main(argv: list[str] | None = None) -> int:
                                        g.column("count_all").to_pylist()):
                         counts[kind] = counts.get(kind, 0) + n
                 print(json.dumps({"changes": counts}))
+        elif args.cmd == "replicate":
+            from rfb_cnpj_etl_ray.pipelines.ingest import replicate
+
+            print(json.dumps(replicate(
+                args.src_lake, args.dst_lake, table=args.table,
+                num_partitions=args.num_partitions)))
         elif args.cmd == "export":
             from rfb_cnpj_etl_ray.sinks import export_lake
 

@@ -101,6 +101,19 @@ def test_deletes_propagate_after_src_tombstone_compaction(ray_session, tmp_path)
     assert_states_equal(replay(base, events), read_lake_table(dst))
 
 
+def test_replicate_cli(ray_session, tmp_path, capsys):
+    base, events, log_dir, manifest, src = _src_lake(tmp_path)
+    _ingest_upto(log_dir, manifest, src, 4)
+    from rfb_cnpj_etl_ray.cli import main as cli_main
+
+    dst = tmp_path / "dst"
+    rc = cli_main(["replicate", str(src), str(dst)])
+    assert rc in (0, None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "snapshot" and not out["noop"]
+    assert_states_equal(replay(base, events), read_lake_table(dst))
+
+
 def test_replicate_uninitialized_src_raises(ray_session, tmp_path):
     with pytest.raises(RuntimeError, match="not initialized"):
         replicate(tmp_path / "nope", tmp_path / "dst")

@@ -667,10 +667,14 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
         ep = pc.bit_wise_and(batch.column("event_id"), VIEW_EPOCHS - 1)
         return batch.append_column("epoch", pc.cast(ep, pa.int64()))
 
+    from rfb_cnpj_etl_ray.sources.parquet import read_table, sized_blocks
+
     if not (arrivals / "_DONE").exists():
         shutil.rmtree(arrivals, ignore_errors=True)
-        _read(
-            sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+        ev = f"{sf_dir}/events.parquet"
+        read_table(
+            ev, columns=["event_id", "user_id", "ts", "value"],
+            override_num_blocks=sized_blocks([ev]),
         ).map_batches(
             route, batch_format="pyarrow", zero_copy_batch=True
         ).write_parquet(str(arrivals), partition_cols=["epoch"])
@@ -689,9 +693,15 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
     view = (ray.data.read_parquet(str(prev), file_extensions=["parquet"])
             if prev is not None else None)
     for ep in range(start + 1, VIEW_EPOCHS):
+        # pin the read's block count to the epoch's on-disk size: Ray's
+        # CPU-derived default over-splits a small epoch into 64 tiny
+        # blocks and every downstream stage pays the task wave
+        files = sorted(
+            str(p) for p in (arrivals / f"epoch={ep}").glob("*.parquet"))
         partials = ray.data.read_parquet(
-            str(arrivals / f"epoch={ep}"),
+            files,
             columns=["user_id", "ts", "value"],
+            override_num_blocks=sized_blocks(files),
         ).map_batches(
             _hourly_partial, batch_format="pyarrow", zero_copy_batch=True)
         if view is not None:

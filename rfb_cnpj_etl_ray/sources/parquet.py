@@ -44,6 +44,24 @@ def from_pandas_clean(df) -> pa.Table:
         df, preserve_index=False).replace_schema_metadata(None)
 
 
+def sized_blocks(paths, floor: int = 8, target_bytes: int = 32 << 20) -> int:
+    """Block count derived from the input's ON-DISK size: one block per
+    ``target_bytes`` (32 MB), floored at ``floor``.
+
+    Ray's default read parallelism is CPU-derived (≈2× cores), which
+    over-splits small inputs into dozens of ~100 KB blocks — every
+    downstream stage then pays a 64-task scheduling wave to move a few
+    megabytes (measured: the incremental-view fold's per-epoch groupby
+    drops 1.27 s → 0.49 s going 64 → 8 input blocks at sf0.1). Deriving
+    from bytes is scale-stable: a 100 TB input still gets bytes/32 MB
+    blocks, and a 3 MB epoch gets ``floor``.
+    """
+    import os
+
+    total = sum(os.stat(p).st_size for p in paths)
+    return int(max(floor, total // target_bytes))
+
+
 def pool_size() -> tuple[int, int]:
     """Actor-pool (min, max) for stateless-ish map stages: pre-warm 2
     actors on real clusters (autoscale-from-1 measurably delays short

@@ -443,7 +443,14 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
         if prev_spill is not None:
             shutil.rmtree(prev_spill, ignore_errors=True)
         prev_spill = path
-        ds = ray.data.read_parquet(str(path))
+        # block count from the spill's on-disk bytes: Ray's CPU-derived
+        # default splits a few-MB spill into 64 tiny blocks and every
+        # round pays the task wave (sources/parquet.sized_blocks)
+        from rfb_cnpj_etl_ray.sources.parquet import sized_blocks
+
+        spill_files = sorted(str(p) for p in path.glob("*.parquet"))
+        ds = ray.data.read_parquet(
+            spill_files, override_num_blocks=sized_blocks(spill_files))
         if check:
             # fixed-point check over a COLUMN-PRUNED read of the spill
             # (two int64 columns, not the band-key strings); tiny
@@ -451,7 +458,8 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
             changed = sum(
                 row["changed"]
                 for row in ray.data.read_parquet(
-                    str(path), columns=["label", "label_prev"]
+                    spill_files, columns=["label", "label_prev"],
+                    override_num_blocks=sized_blocks(spill_files),
                 ).map_batches(
                     count_changed, batch_format="pyarrow",
                     zero_copy_batch=True).take_all()

@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": T.stratified_sample,
         "tfidf_top_terms": T.tfidf_top_terms,
         "curate_corpus": T.curate_corpus,
+        "bigram_topk": T.bigram_topk,
+        "decontaminate_val": T.decontaminate_val,
         "props_extract_stats": R.props_extract_stats,
         "change_feed_users": R.change_feed_users,
         "replicate_user_state": R.replicate_user_state,
@@ -213,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": T.STRATIFIED_SAMPLE_SQL,
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "curate_corpus": T.CURATE_CORPUS_SQL,
+        "bigram_topk": T.BIGRAM_TOPK_SQL,
+        "decontaminate_val": T.DECONTAMINATE_VAL_SQL,
         "props_extract_stats": R.PROPS_EXTRACT_STATS_SQL,
         "change_feed_users": R.CHANGE_FEED_USERS_SQL,
         "replicate_user_state": R.REPLICATE_USER_STATE_SQL,

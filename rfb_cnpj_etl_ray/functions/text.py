@@ -723,3 +723,159 @@ SELECT doc_id,
        END AS status
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# within-document bigram heavy hitters
+# ---------------------------------------------------------------------------
+
+BIGRAM_K = 20
+
+
+def bigram_topk(sf_dir: str, k: int = BIGRAM_K):
+    """Global top-K adjacent word pairs — phrase-level heavy hitters
+    (``top_tokens``'s unigram report misses collocations). Scale shape:
+    bigrams never cross documents, so the per-batch partial is one flat
+    word buffer + a boundary mask + ``np.unique`` over the joined pairs;
+    the shuffle moves ≤|block bigram vocabulary| rows per block, and the
+    final sort+limit runs over the global bigram vocabulary only."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64")})
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words if len(w)])
+        # pair (i, i+1) is a bigram only when both words share a doc:
+        # mask out each doc's LAST word as a pair start
+        ends = np.cumsum(lens[lens > 0])
+        valid = np.ones(total - 1, dtype=bool)
+        valid[ends[:-1] - 1] = False
+        left = pd.Series(flat[:-1][valid], dtype=object)
+        right = pd.Series(flat[1:][valid], dtype=object)
+        if left.empty:
+            return empty
+        bg, cnt = np.unique((left + " " + right).to_numpy(dtype=object)
+                            .astype(str), return_counts=True)
+        return pd.DataFrame({"bigram": bg, "n": cnt.astype(np.int64)})
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+BIGRAM_TOPK_SQL = f"""
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws))) AS t(i)
+)
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# train/val decontamination: n-gram overlap between splits
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # shingle width in words
+
+
+def decontaminate_val(sf_dir: str):
+    """Benchmark-decontamination report: every *val* document (the
+    ``train_val_split`` rule: doc_id % 10 == 8) that shares at least one
+    ``DECON_N``-word shingle with ANY *train* document, with the count
+    of its contaminated distinct shingles. The standard pre-training
+    hygiene op: val/test examples leaking into train inflate evals.
+
+    Scale shape: per-batch flat-buffer shingling emits DISTINCT
+    (doc_id, gram) rows (each doc lives in one batch, so the per-batch
+    dedup is global), then ONE keyed exchange on the gram — never a
+    broadcast of the train-side gram set, which at 100 TB is itself
+    TB-scale — marks val rows in buckets that also contain a train row;
+    a second, much smaller exchange on doc_id folds the per-doc counts.
+    Volume: O(tokens) rows into the first shuffle, O(contaminated
+    grams) into the second."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "gram": pd.Series([], dtype="object"),
+                              "is_train": pd.Series([], dtype="bool")})
+        mod = batch["doc_id"].to_numpy() % 10
+        batch = batch[mod <= 8]  # train + val; test docs play no part
+        if batch.empty:
+            return empty
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < DECON_N:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words if len(w)])
+        doc_of = np.repeat(batch["doc_id"].to_numpy()[lens > 0],
+                           lens[lens > 0])
+        # start i is a shingle iff word i+N-1 is still the same doc
+        valid = doc_of[: total - (DECON_N - 1)] == doc_of[DECON_N - 1:]
+        if not valid.any():
+            return empty
+        g = pd.Series(flat[: total - (DECON_N - 1)], dtype=object)
+        for j in range(1, DECON_N):
+            g = g + " " + pd.Series(
+                flat[j: total - (DECON_N - 1) + j], dtype=object)
+        out = pd.DataFrame({
+            "doc_id": doc_of[: total - (DECON_N - 1)][valid],
+            "gram": g.to_numpy(dtype=object)[valid],
+        }).drop_duplicates()
+        out["is_train"] = (out["doc_id"] % 10) < 8
+        return out
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        # gram buckets are whole within a block after the exchange
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        hit = df.groupby("gram", sort=False)["is_train"].transform("max")
+        return df.loc[~df["is_train"] & hit, ["doc_id"]]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_contaminated": pd.Series([], dtype="int64")})
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_contaminated=("doc_id", "size"))
+        out["n_contaminated"] = out["n_contaminated"].astype("int64")
+        return out
+
+    pairs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pandas")
+    hits = repartition_by_key(pairs, ["gram"]).map_batches(
+        mark, batch_format="pandas", batch_size=None)
+    return repartition_by_key(hits, ["doc_id"]).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+DECONTAMINATE_VAL_SQL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+  FROM documents WHERE doc_id % 10 <= 8
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         ws[i + 3] || ' ' || ws[i + 4] AS gram
+  FROM words, unnest(range(1, len(ws) - {DECON_N - 2})) AS t(i)
+)
+SELECT v.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 8) v
+JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 < 8) t
+  USING (gram)
+GROUP BY v.doc_id
+"""

@@ -272,3 +272,27 @@ def test_knn_graph_matches_oracle(ray_session):
     """All-pairs cosine k-NN graph vs the windowed-rank DuckDB oracle."""
     from rfb_cnpj_etl_ray.functions import similarity as S
     assert_query_matches(S.knn_graph, S.KNN_GRAPH_SQL, SF_DIR)
+
+
+def test_bigram_topk_matches_oracle(ray_session):
+    """Phrase heavy hitters: boundary-masked flat-buffer bigrams →
+    partial counts → groupby → deterministic top-k."""
+    assert_query_matches(T.bigram_topk, T.BIGRAM_TOPK_SQL, SF_DIR)
+    df = to_pandas(T.bigram_topk(SF_DIR))
+    assert len(df) == T.BIGRAM_K
+    # every heavy hitter is a within-doc pair: two space-separated words
+    assert df["bigram"].str.count(" ").eq(1).all()
+
+
+def test_decontaminate_val_matches_oracle(ray_session):
+    """Train/val n-gram decontamination: val docs sharing a DECON_N-word
+    shingle with any train doc, counted, vs the distinct-gram join
+    oracle. Non-trivial on the synthetic corpus (near-dup clusters span
+    the split boundary)."""
+    assert_query_matches(
+        T.decontaminate_val, T.DECONTAMINATE_VAL_SQL, SF_DIR)
+    df = to_pandas(T.decontaminate_val(SF_DIR))
+    assert len(df) > 0, "corpus has near-dup clusters across the split"
+    # every flagged doc is a val doc with a positive contamination count
+    assert (df["doc_id"] % 10 == 8).all()
+    assert (df["n_contaminated"] >= 1).all()

@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": T.curate_corpus,
         "bigram_topk": T.bigram_topk,
         "decontaminate_val": T.decontaminate_val,
+        "repetition_scores": T.repetition_scores,
+        "source_mix_sample": T.source_mix_sample,
         "props_extract_stats": R.props_extract_stats,
         "change_feed_users": R.change_feed_users,
         "replicate_user_state": R.replicate_user_state,
@@ -157,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": S.ann_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "knn_graph": S.knn_graph,
+        "kmeans_clusters": S.kmeans_clusters,
         "multimodal_features": M.multimodal_features,
         "multimodal_wav_decode": M.multimodal_wav_decode,
     }
@@ -217,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": T.CURATE_CORPUS_SQL,
         "bigram_topk": T.BIGRAM_TOPK_SQL,
         "decontaminate_val": T.DECONTAMINATE_VAL_SQL,
+        "repetition_scores": T.REPETITION_SCORES_SQL,
+        "source_mix_sample": T.SOURCE_MIX_SAMPLE_SQL,
         "props_extract_stats": R.PROPS_EXTRACT_STATS_SQL,
         "change_feed_users": R.CHANGE_FEED_USERS_SQL,
         "replicate_user_state": R.REPLICATE_USER_STATE_SQL,
@@ -230,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": D.DEDUP_CORPUS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
         "knn_graph": S.KNN_GRAPH_SQL,
+        "kmeans_clusters": S.KMEANS_CLUSTERS_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
         # omitted on purpose (rows-only): cdc_ingest_final_state

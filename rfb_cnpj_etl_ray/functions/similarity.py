@@ -285,3 +285,160 @@ SELECT vec_id, rank, neighbor_id, cosine FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ) WHERE rank <= {KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means over the embedding column
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _assign_batch(x: np.ndarray, cids: np.ndarray, cents: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest centroid by ROUNDED cosine (4 decimals, the knn_graph
+    protocol: summation order can never flip a rank) with min-cid
+    tie-break via a packed integer key."""
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    simr = np.round(xn @ cn.T, 4)
+    milli = np.rint(simr * 10_000).astype(np.int64)
+    key = milli * 64 - cids[None, :]          # max sim, then min cid
+    j = np.argmax(key, axis=1)
+    return cids[j], simr[np.arange(len(j)), j]
+
+
+def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
+                    iters: int = KMEANS_ITERS):
+    """Distributed spherical k-means (Lloyd's) over ``embeddings`` —
+    the semantic-clustering primitive behind cluster-balanced data
+    mixing and cluster-level dedup in training-data pipelines.
+
+    Deterministic: init = the ``k`` smallest vec_ids (a predicate-pushed
+    point read, not a scan), assignment by 4-decimal-rounded cosine with
+    min-cid tie-break, centroid update = per-dimension mean rounded to 6
+    decimals (pinned on both sides so the DuckDB oracle's unrolled
+    iterations reproduce the fixed point bit-for-bit; rounding absorbs
+    summation-order ulps).
+
+    Scale shape per iteration: centroids broadcast once (``ray.put``,
+    k×d floats); each batch does ONE matmul and emits k×(d+1) partial
+    sums; the exchange carries O(k·d·#blocks) tiny rows into a groupby
+    whose result (k·d rows) is all the driver ever holds. The final
+    assignment streams. Empty clusters drop out (both sides)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", k)])
+    ids0 = t.column("vec_id").to_numpy()
+    order = np.argsort(ids0)
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in
+                      t.column("embedding").to_numpy(zero_copy_only=False)]
+                     )[order]
+    cids = ids0[order].astype(np.int64)
+
+    def _ds():
+        return _read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        ref = ray.put((cids, cents))
+
+        class Partial:
+            def __init__(self, ref):
+                self.cids, self.cents = ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                x = np.stack(batch["embedding"].to_numpy()
+                             ).astype(np.float64)
+                cl, _ = _assign_batch(x, self.cids, self.cents)
+                d = x.shape[1]
+                uniq, inv = np.unique(cl, return_inverse=True)
+                sums = np.zeros((len(uniq), d), dtype=np.float64)
+                np.add.at(sums, inv, x)
+                counts = np.bincount(inv).astype(np.float64)
+                # rows: (cluster, dim, s); dim=-1 carries the count
+                return pd.DataFrame({
+                    "cluster": np.concatenate(
+                        [np.repeat(uniq, d), uniq]).astype("int64"),
+                    "dim": np.concatenate(
+                        [np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                         np.full(len(uniq), -1, dtype=np.int64)]),
+                    "s": np.concatenate([sums.ravel(), counts]),
+                })
+
+        rows = (_ds()
+                .map_batches(Partial, fn_constructor_kwargs={"ref": ref},
+                             batch_format="pandas", concurrency=_pool())
+                .groupby(["cluster", "dim"])
+                .aggregate(Sum("s", alias_name="s"))
+                .take_all())           # k·(d+1) rows — never O(corpus)
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = r["s"]
+        cids = np.array(sorted(by_c), dtype=np.int64)
+        d = max(dd for v in by_c.values() for dd in v) + 1
+        cents = np.stack([
+            np.round(np.array([by_c[c][i] for i in range(d)])
+                     / by_c[c][-1], 6)
+            for c in cids])
+
+    ref = ray.put((cids, cents))
+
+    class Assign:
+        def __init__(self, ref):
+            self.cids, self.cents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            cl, sim = _assign_batch(x, self.cids, self.cents)
+            return pd.DataFrame({
+                "vec_id": batch["vec_id"].astype("int64"),
+                "cluster": cl,
+                "cosine": sim,
+            })
+
+    return _ds().map_batches(Assign, fn_constructor_kwargs={"ref": ref},
+                             batch_format="pandas", concurrency=_pool())
+
+
+def _kmeans_assign_sql(cent_cte: str) -> str:
+    return f"""
+    SELECT vec_id, cid FROM (
+       SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, c.c)
+                               AS DOUBLE), 4) DESC, c.cid) AS rn
+       FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1"""
+
+
+def _kmeans_update_sql(assign_cte: str) -> str:
+    return f"""
+    SELECT cid, list(val ORDER BY ord) AS c FROM (
+      SELECT a.cid, t.i AS ord,
+             ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS val
+      FROM {assign_cte} a JOIN embeddings e USING (vec_id),
+           unnest(range(1, len(e.embedding) + 1)) AS t(i)
+      GROUP BY 1, 2) GROUP BY cid"""
+
+
+KMEANS_CLUSTERS_SQL = f"""
+WITH c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+            WHERE vec_id < {KMEANS_K}),
+a0 AS ({_kmeans_assign_sql('c0')}),
+c1 AS ({_kmeans_update_sql('a0')}),
+a1 AS ({_kmeans_assign_sql('c1')}),
+c2 AS ({_kmeans_update_sql('a1')})
+SELECT vec_id, cid AS cluster, cosine FROM (
+   SELECT e.vec_id, c.cid,
+          ROUND(CAST(list_cosine_similarity(e.embedding, c.c)
+                     AS DOUBLE), 4) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, c.c)
+                               AS DOUBLE), 4) DESC, c.cid) AS rn
+   FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+"""

@@ -838,22 +838,25 @@ def decontaminate_val(sf_dir: str):
         out["is_train"] = (out["doc_id"] % 10) < 8
         return out
 
-    def mark(df: pd.DataFrame) -> pd.DataFrame:
-        # gram buckets are whole within a block after the exchange
+    def mark(df: pd.DataFrame) -> pa.Table:
+        # gram buckets are whole within a block after the exchange;
+        # declared-Arrow output keeps empty blocks schema-stable
         if df.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-        hit = df.groupby("gram", sort=False)["is_train"].transform("max")
-        return df.loc[~df["is_train"] & hit, ["doc_id"]]
+            ids = []
+        else:
+            hit = df.groupby("gram", sort=False)["is_train"].transform("max")
+            ids = df.loc[~df["is_train"] & hit, "doc_id"]
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
+    def fold(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_contaminated": pd.Series([], dtype="int64")})
-        out = df.groupby("doc_id", as_index=False).agg(
-            n_contaminated=("doc_id", "size"))
-        out["n_contaminated"] = out["n_contaminated"].astype("int64")
-        return out
+            ids, n = [], []
+        else:
+            out = df.groupby("doc_id", as_index=False).agg(
+                n_contaminated=("doc_id", "size"))
+            ids, n = out["doc_id"], out["n_contaminated"]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_contaminated": pa.array(n, pa.int64())})
 
     pairs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         grams, batch_format="pandas")
@@ -878,4 +881,204 @@ FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 8) v
 JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 < 8) t
   USING (gram)
 GROUP BY v.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality filters
+# ---------------------------------------------------------------------------
+
+def repetition_scores(sf_dir: str):
+    """Per-document repetition features (the Gopher/C4 repetition
+    filters): duplicate-word fraction, most-frequent-word fraction and
+    most-frequent-bigram fraction — the cheap signals that catch
+    boilerplate and degenerate generations before training.
+
+    All ratios are exact integer millis (``1000·num // den``) so the
+    DuckDB oracle reproduces them bit-for-bit. Scale shape: a document
+    never spans batches, so everything is one per-batch pandas hash
+    groupby over the flat (doc, word) buffer — no shuffle, no per-row
+    Python."""
+
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        n = len(batch)
+        n_words = lens
+        zeros = np.zeros(n, dtype=np.int64)
+        if lens.sum() == 0:
+            n_distinct = zeros
+            top_word = zeros
+            top_bigram = zeros
+            n_bigrams = zeros
+        else:
+            flat = np.concatenate([np.asarray(w, dtype=object)
+                                   for w in words if len(w)])
+            doc_idx = np.repeat(np.arange(n), lens)
+            wc = (
+                pd.DataFrame({"d": doc_idx, "w": flat})
+                .groupby(["d", "w"], sort=False).size()
+            )
+            g = wc.groupby(level=0)
+            n_distinct = zeros.copy()
+            n_distinct[g.size().index.to_numpy()] = g.size().to_numpy()
+            top_word = zeros.copy()
+            top_word[g.max().index.to_numpy()] = g.max().to_numpy()
+            # within-doc bigrams: boundary-masked adjacent pairs over the
+            # same flat buffer (the bigram_topk kernel, per-doc maxima)
+            total = int(lens.sum())
+            n_bigrams = np.maximum(lens - 1, 0)
+            if total >= 2:
+                ends = np.cumsum(lens[lens > 0])
+                valid = np.ones(total - 1, dtype=bool)
+                valid[ends[:-1] - 1] = False
+                left = pd.Series(flat[:-1][valid], dtype=object)
+                right = pd.Series(flat[1:][valid], dtype=object)
+                top_bigram = zeros.copy()
+                if not left.empty:
+                    bd = doc_idx[: total - 1][valid]
+                    bc = (
+                        pd.DataFrame({"d": bd,
+                                      "b": (left + " " + right).to_numpy()})
+                        .groupby(["d", "b"], sort=False).size()
+                        .groupby(level=0).max()
+                    )
+                    top_bigram[bc.index.to_numpy()] = bc.to_numpy()
+            else:
+                top_bigram = zeros
+        safe_w = np.maximum(n_words, 1)
+        safe_b = np.maximum(n_bigrams, 1)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_words": pd.Series(n_words, index=batch.index),
+            "n_distinct_words": pd.Series(n_distinct, index=batch.index),
+            "dup_word_frac_milli": pd.Series(
+                (n_words - n_distinct) * 1000 // safe_w, index=batch.index),
+            "top_word_frac_milli": pd.Series(
+                top_word * 1000 // safe_w, index=batch.index),
+            "top_bigram_frac_milli": pd.Series(
+                top_bigram * 1000 // safe_b, index=batch.index),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pandas")
+
+
+REPETITION_SCORES_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+  GROUP BY doc_id, word
+), wstat AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(n) AS BIGINT) AS top_word
+  FROM wc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, bg, COUNT(*) AS n
+  FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+        FROM w, unnest(range(1, len(ws))) AS t(i))
+  GROUP BY doc_id, bg
+), bstat AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ws.n_words, 0) AS n_words,
+       COALESCE(ws.n_distinct, 0) AS n_distinct_words,
+       (COALESCE(ws.n_words, 0) - COALESCE(ws.n_distinct, 0)) * 1000
+         // GREATEST(COALESCE(ws.n_words, 0), 1) AS dup_word_frac_milli,
+       COALESCE(ws.top_word, 0) * 1000
+         // GREATEST(COALESCE(ws.n_words, 0), 1) AS top_word_frac_milli,
+       COALESCE(bs.top_bigram, 0) * 1000
+         // GREATEST(COALESCE(bs.n_bigrams, 0), 1) AS top_bigram_frac_milli
+FROM documents d
+LEFT JOIN wstat ws USING (doc_id)
+LEFT JOIN bstat bs USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted source mixing
+# ---------------------------------------------------------------------------
+
+MIX_TOTAL = 100  # target corpus size of the mixed subsample
+
+
+def source_mix_sample(sf_dir: str, k: int = MIX_TOTAL):
+    """Temperature-weighted data mixing across sources: per-source
+    sampling budgets proportional to ``isqrt(total chars)`` (the classic
+    alpha=0.5 temperature that up-weights small sources), documents
+    chosen per source by the deterministic Knuth-hash order. Everything
+    is BIGINT-exact — ``FLOOR(SQRT(x))`` equals ``isqrt(x)`` for any
+    x < 2^52, so engine and oracle compute identical budgets.
+
+    Scale shape: the budget pass is a partial per-batch groupby over
+    ~#sources rows (driver holds one row per source — the dimension
+    contract); selection is one keyed exchange on ``source`` + a
+    per-block vectorized rank, the ``stratified_sample`` pattern."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    def mass(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("source", as_index=False)["n_chars"].sum()
+        return g.rename(columns={"n_chars": "chars"})
+
+    masses = (
+        _read_docs(sf_dir, ["source", "n_chars"])
+        .map_batches(mass, batch_format="pandas")
+        .groupby("source").aggregate(Sum("chars", alias_name="chars"))
+        .take_all()
+    )  # one row per source: bounded like every dimension broadcast
+    w = {r["source"]: math.isqrt(int(r["chars"])) for r in masses}
+    tot = sum(w.values())
+    targets = {s: (k * ws) // tot for s, ws in w.items()}
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        # declared-Arrow output: sources whose budget is 0 yield empty
+        # blocks whose pandas schema Ray cannot infer (clean shuffle tail)
+        if df.empty:
+            out = df
+        else:
+            df = df.copy()
+            df["h"] = (df["doc_id"] * _SAMPLE_MULT) % _SAMPLE_MOD
+            df = df.sort_values(["source", "h", "doc_id"], kind="stable")
+            df["rn"] = df.groupby("source", sort=False).cumcount() + 1
+            df["tgt"] = df["source"].map(targets).fillna(0).astype("int64")
+            out = df.loc[df["rn"] <= df["tgt"]]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"] if len(out) else [], pa.int64()),
+            "source": pa.array(out["source"] if len(out) else [], pa.string()),
+        })
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    return repartition_by_key(ds, ["source"]).map_batches(
+        pick, batch_format="pandas", batch_size=None)
+
+
+SOURCE_MIX_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS BIGINT))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, CAST(({MIX_TOTAL} * w) // (SELECT SUM(w) FROM m) AS BIGINT)
+           AS tgt
+  FROM m
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r JOIN t USING (source) WHERE rn <= tgt
 """

@@ -296,3 +296,39 @@ def test_decontaminate_val_matches_oracle(ray_session):
     # every flagged doc is a val doc with a positive contamination count
     assert (df["doc_id"] % 10 == 8).all()
     assert (df["n_contaminated"] >= 1).all()
+
+
+def test_repetition_scores_matches_oracle(ray_session):
+    """Gopher repetition filters: integer-milli dup/top-word/top-bigram
+    fractions vs the unnest+groupby oracle."""
+    assert_query_matches(T.repetition_scores, T.REPETITION_SCORES_SQL, SF_DIR)
+    df = to_pandas(T.repetition_scores(SF_DIR))
+    # the word-salad corpus repeats heavily: scores must be non-trivial
+    assert (df["dup_word_frac_milli"] > 0).any()
+    assert df["top_word_frac_milli"].between(0, 1000).all()
+
+
+def test_source_mix_sample_matches_oracle(ray_session):
+    """Temperature mixing: isqrt(char-mass) budgets, Knuth-hash
+    deterministic selection, BIGINT-exact on both sides."""
+    assert_query_matches(T.source_mix_sample, T.SOURCE_MIX_SAMPLE_SQL, SF_DIR)
+    df = to_pandas(T.source_mix_sample(SF_DIR))
+    # budgets sum to ≤ the target (floor division), cover many sources
+    assert 0 < len(df) <= T.MIX_TOTAL
+    assert df["source"].nunique() > 1
+    # determinism: a second run picks the identical sample
+    df2 = to_pandas(T.source_mix_sample(SF_DIR))
+    assert sorted(df["doc_id"]) == sorted(df2["doc_id"])
+
+
+def test_kmeans_clusters_matches_oracle(ray_session):
+    """Distributed Lloyd's (2 unrolled iterations) vs the CTE-unrolled
+    DuckDB oracle: identical init, rounded-cosine assignment, rounded
+    per-dimension mean updates."""
+    from rfb_cnpj_etl_ray.functions import similarity as S
+    assert_query_matches(S.kmeans_clusters, S.KMEANS_CLUSTERS_SQL, SF_DIR)
+    df = to_pandas(S.kmeans_clusters(SF_DIR))
+    # every vector assigned exactly once; all K clusters survive on the
+    # label-structured synthetic embeddings
+    assert df["vec_id"].is_unique
+    assert df["cluster"].nunique() == S.KMEANS_K

@@ -66,6 +66,10 @@ QUERY_NAMES = [
     # round-3: incremental view maintenance + broadcast-idf TF-IDF
     "incremental_hourly_activity",
     "tfidf_top_terms",
+    # round-3: decontamination (O(tokens) gram exchange) + distributed
+    # k-means (per-iteration broadcast + partial-sum reduce)
+    "decontaminate_val",
+    "kmeans_clusters",
 ]
 
 

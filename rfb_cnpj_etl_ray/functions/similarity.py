@@ -323,12 +323,14 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
     summation-order ulps).
 
     Scale shape per iteration: centroids broadcast once (``ray.put``,
-    k×d floats); each batch does ONE matmul and emits k×(d+1) partial
-    sums; the exchange carries O(k·d·#blocks) tiny rows into a groupby
-    whose result (k·d rows) is all the driver ever holds. The final
-    assignment streams. Empty clusters drop out (both sides)."""
-    from ray.data.aggregate import Sum
-
+    k×d floats; tasks ``ray.get`` it zero-copy from the object store —
+    a task pool, not an actor pool: there is no per-worker state worth
+    a pool spin-up here, and hash-aggregate actor pools were 90% of the
+    wall time at small scale); each batch does ONE matmul and collapses
+    to k×(d+1) partial-sum rows; a coalescing ``repartition`` + one
+    per-block combine bounds the driver collect to ≤ fold_width·k·(d+1)
+    rows no matter how many input blocks exist. The final assignment
+    streams. Empty clusters drop out (both sides)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -341,69 +343,77 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
                      )[order]
     cids = ids0[order].astype(np.int64)
 
-    def _ds():
-        return _read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    from rfb_cnpj_etl_ray.sources.parquet import sized_blocks
 
+    path = f"{sf_dir}/embeddings.parquet"
+    # size-derived block count: the CPU-derived default over-splits a
+    # small table into 64 blocks, and THREE passes then pay three
+    # 64-task scheduling waves to move a few MB (measured 17 s → 3 s
+    # at sf0.1); a 100 TB corpus still gets bytes/32MB blocks
+    n_blocks = sized_blocks([path])
+
+    def _ds():
+        return _read_table(path, columns=["vec_id", "embedding"],
+                           override_num_blocks=n_blocks)
+
+    def partial(batch: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cids_, cents_ = ray.get(ref)       # zero-copy plasma read
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        cl, _ = _assign_batch(x, cids_, cents_)
+        d = x.shape[1]
+        uniq, inv = np.unique(cl, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        counts = np.bincount(inv).astype(np.float64)
+        # rows: (cluster, dim, s); dim=-1 carries the count
+        return pd.DataFrame({
+            "cluster": np.concatenate(
+                [np.repeat(uniq, d), uniq]).astype("int64"),
+            "dim": np.concatenate(
+                [np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                 np.full(len(uniq), -1, dtype=np.int64)]),
+            "s": np.concatenate([sums.ravel(), counts]),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cluster", "dim"], as_index=False)["s"].sum()
+
+    fold_width = 16
     for _ in range(iters):
         ref = ray.put((cids, cents))
-
-        class Partial:
-            def __init__(self, ref):
-                self.cids, self.cents = ray.get(ref)
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                x = np.stack(batch["embedding"].to_numpy()
-                             ).astype(np.float64)
-                cl, _ = _assign_batch(x, self.cids, self.cents)
-                d = x.shape[1]
-                uniq, inv = np.unique(cl, return_inverse=True)
-                sums = np.zeros((len(uniq), d), dtype=np.float64)
-                np.add.at(sums, inv, x)
-                counts = np.bincount(inv).astype(np.float64)
-                # rows: (cluster, dim, s); dim=-1 carries the count
-                return pd.DataFrame({
-                    "cluster": np.concatenate(
-                        [np.repeat(uniq, d), uniq]).astype("int64"),
-                    "dim": np.concatenate(
-                        [np.tile(np.arange(d, dtype=np.int64), len(uniq)),
-                         np.full(len(uniq), -1, dtype=np.int64)]),
-                    "s": np.concatenate([sums.ravel(), counts]),
-                })
-
-        rows = (_ds()
-                .map_batches(Partial, fn_constructor_kwargs={"ref": ref},
-                             batch_format="pandas", concurrency=_pool())
-                .groupby(["cluster", "dim"])
-                .aggregate(Sum("s", alias_name="s"))
-                .take_all())           # k·(d+1) rows — never O(corpus)
-        by_c: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = r["s"]
-        cids = np.array(sorted(by_c), dtype=np.int64)
-        d = max(dd for v in by_c.values() for dd in v) + 1
+        # ≤ fold_width·k·(d+1) rows reach the driver — never O(corpus).
+        # to_pandas, not take_all: Ray 2.49's row-wise take_all pays a
+        # ~5 s fixed conversion tax on even tiny results (measured).
+        folded = (_ds()
+                  .map_batches(partial, fn_kwargs={"ref": ref},
+                               batch_format="pandas")
+                  .repartition(fold_width)  # coalesce, no hash shuffle
+                  .map_batches(combine, batch_format="pandas",
+                               batch_size=None)
+                  .to_pandas())
+        g = folded.groupby(["cluster", "dim"])["s"].sum()
+        counts = g.xs(-1, level="dim")
+        cids = np.array(sorted(counts.index), dtype=np.int64)
+        d = int(g.index.get_level_values("dim").max()) + 1
         cents = np.stack([
-            np.round(np.array([by_c[c][i] for i in range(d)])
-                     / by_c[c][-1], 6)
+            np.round(g.loc[c].reindex(range(d)).to_numpy()
+                     / counts.loc[c], 6)
             for c in cids])
 
     ref = ray.put((cids, cents))
 
-    class Assign:
-        def __init__(self, ref):
-            self.cids, self.cents = ray.get(ref)
+    def assign(batch: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cids_, cents_ = ray.get(ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        cl, sim = _assign_batch(x, cids_, cents_)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "cluster": cl,
+            "cosine": sim,
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            cl, sim = _assign_batch(x, self.cids, self.cents)
-            return pd.DataFrame({
-                "vec_id": batch["vec_id"].astype("int64"),
-                "cluster": cl,
-                "cosine": sim,
-            })
-
-    return _ds().map_batches(Assign, fn_constructor_kwargs={"ref": ref},
-                             batch_format="pandas", concurrency=_pool())
+    return _ds().map_batches(assign, fn_kwargs={"ref": ref},
+                             batch_format="pandas")
 
 
 def _kmeans_assign_sql(cent_cte: str) -> str:

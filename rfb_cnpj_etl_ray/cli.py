@@ -115,6 +115,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="dst partition count on first replication "
                          "(default: same as src)")
 
+    sp = sub.add_parser("merge",
+                        help="MERGE INTO: apply a payload parquet as one "
+                             "upsert epoch (optionally full-snapshot sync)")
+    sp.add_argument("lake")
+    sp.add_argument("source_parquet")
+    sp.add_argument("--table", default="sequences")
+    sp.add_argument("--delete-missing", action="store_true",
+                    help="also delete lake keys absent from the source")
+
     sp = sub.add_parser("export", help="export lake state through a sink")
     sp.add_argument("lake")
     sp.add_argument("out_dir")
@@ -263,6 +272,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(replicate(
                 args.src_lake, args.dst_lake, table=args.table,
                 num_partitions=args.num_partitions)))
+        elif args.cmd == "merge":
+            from rfb_cnpj_etl_ray.pipelines.ingest import merge_into
+            from rfb_cnpj_etl_ray.sources.parquet import (
+                read_table,
+                sized_blocks,
+            )
+
+            src = read_table(
+                args.source_parquet,
+                override_num_blocks=sized_blocks([args.source_parquet]))
+            print(json.dumps(merge_into(
+                args.lake, src, table=args.table,
+                delete_missing=args.delete_missing)))
         elif args.cmd == "export":
             from rfb_cnpj_etl_ray.sinks import export_lake
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -50,7 +51,11 @@ from rfb_cnpj_etl_ray.stages.merge import (
     strip_internal,
 )
 from rfb_cnpj_etl_ray.state.commitlog import CommitLog
-from rfb_cnpj_etl_ray.state.manifest import read_manifest, validate_segments
+from rfb_cnpj_etl_ray.state.manifest import (
+    manifest_from_dir,
+    read_manifest,
+    validate_segments,
+)
 
 
 def _staged_task_cpus(cfg: EngineConfig) -> float:
@@ -890,3 +895,102 @@ def init_lake_from_dataset(
     }
     log.append(record)
     return record
+
+
+def merge_into(
+    lake_dir: str | Path,
+    source,
+    table: str = "sequences",
+    cfg: EngineConfig | None = None,
+    delete_missing: bool = False,
+    scratch_dir: str | Path | None = None,
+) -> dict:
+    """Delta-style MERGE INTO: apply an arbitrary payload dataset to the
+    lake as ONE upsert batch at the next LSN — op=U for every source row
+    (whole-row replace under the LWW algebra); with ``delete_missing``,
+    op=D for every lake key absent from the source, making the call a
+    full-snapshot sync (post-state == source exactly).
+
+    Composed from the engine's own primitives, so it inherits their
+    scale shape and guarantees: the source STREAMS to a scratch
+    change-log directory (never through the driver), a footer-only
+    manifest makes it ingestible, the delete set comes from the bucketed
+    large-large anti-join (one keyed exchange, no broadcast of the lake
+    key set), and the normal ``ingest`` applies the whole batch as one
+    atomic, exactly-once epoch. A crash anywhere before the commit
+    leaves the table at the previous epoch; re-running ``merge_into``
+    regenerates the scratch events (at a fresh LSN — harmless, the fold
+    is idempotent for identical payloads) and completes.
+
+    Reference analog: the monthly full reload (drop + re-insert
+    everything, ``sqlite_builder.py:170-177``) — expressed here as an
+    incremental sync that touches only changed partitions.
+    """
+    import shutil as _shutil
+    import tempfile
+
+    cfg = cfg or EngineConfig()
+    table_dir = Path(lake_dir) / table
+    log = CommitLog(table_dir)
+    last = log.latest()
+    if last is None:
+        raise RuntimeError(
+            f"lake table {table_dir} not initialized (run init_lake first)")
+    ckpts = log.checkpoint_lsns()
+    lsn0 = max(ckpts.values(), default=0) + 1
+
+    if isinstance(source, pa.Table):
+        source = ray.data.from_arrow(source)
+    payload_schema = schema_from_jsonable(last["schema"])
+    payload_names = [f.name for f in payload_schema]
+
+    scratch = Path(scratch_dir) if scratch_dir is not None else Path(
+        tempfile.mkdtemp(prefix=f"merge_into_{table}_"))
+    scratch.mkdir(parents=True, exist_ok=True)
+
+    def to_upserts(batch: pa.Table) -> pa.Table:
+        cols = {
+            "lsn": pa.array(
+                np.full(batch.num_rows, lsn0, dtype=np.int64)),
+            "op": pa.array(["U"] * batch.num_rows, pa.string()),
+        }
+        for f in payload_schema:
+            cols[f.name] = batch.column(f.name).cast(f.type)
+        return pa.table(cols)
+
+    source.map_batches(
+        to_upserts, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(scratch))
+
+    if delete_missing:
+        from rfb_cnpj_etl_ray.stages.joins import bucketed_anti_join
+
+        lake_keys = read_lake(lake_dir, table, columns=["doc_id"])
+        src_keys = source.select_columns(["doc_id"])
+        gone = bucketed_anti_join(lake_keys, src_keys, "doc_id", "doc_id")
+
+        def to_deletes(batch: pa.Table) -> pa.Table:
+            cols = {
+                "lsn": pa.array(
+                    np.full(batch.num_rows, lsn0, dtype=np.int64)),
+                "op": pa.array(["D"] * batch.num_rows, pa.string()),
+            }
+            for f in payload_schema:
+                cols[f.name] = (batch.column("doc_id").cast(f.type)
+                                if f.name == "doc_id"
+                                else pa.nulls(batch.num_rows, f.type))
+            return pa.table(cols)
+
+        gone.map_batches(
+            to_deletes, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(str(scratch))
+
+    manifest_from_dir(scratch)
+    try:
+        report = ingest(lake_dir, scratch, table=table, cfg=cfg)
+    finally:
+        if scratch_dir is None:
+            _shutil.rmtree(scratch, ignore_errors=True)
+    report["merge_lsn"] = lsn0
+    report["delete_missing"] = delete_missing
+    return report

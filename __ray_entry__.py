@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_totals": R.running_user_totals,
         "asof_join_last_purchase": R.asof_join_last_purchase,
         "session_windows": R.session_windows,
+        "funnel_stages": R.funnel_stages,
         "distinct_users_per_type": R.distinct_users_per_type,
         "quantity_quantiles": R.quantity_quantiles,
         # training-data operators (north-rule additions)
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": R.RUNNING_USER_TOTALS_SQL,
         "asof_join_last_purchase": R.ASOF_JOIN_LAST_PURCHASE_SQL,
         "session_windows": R.SESSION_WINDOWS_SQL,
+        "funnel_stages": R.FUNNEL_STAGES_SQL,
         "distinct_users_per_type": R.DISTINCT_USERS_PER_TYPE_SQL,
         "quantity_quantiles": R.QUANTITY_QUANTILES_SQL,
         "token_stats": T.TOKEN_STATS_SQL,

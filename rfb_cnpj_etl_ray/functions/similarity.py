@@ -123,10 +123,15 @@ def _fit_centroids(
         h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
         return batch.filter(pa.array(h < threshold))
 
-    sample = pa.Table.from_pylist(
-        ds.map_batches(pick, batch_format="pyarrow",
-                       zero_copy_batch=True).take_all()
-    )
+    # batch collect, not take_all: row-wise conversion pays ~1 ms/row
+    # on list columns — the batches are already the arrow table we want
+    sampled = list(
+        ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    sample = pa.concat_tables(sampled) if sampled else None
+    if sample is None or sample.num_rows == 0:
+        sample = pa.table({"vec_id": pa.array([], pa.int64()),
+                           "embedding": pa.array([], pa.list_(pa.float32()))})
     # order by the same hash → the retained subset is a deterministic
     # function of vec_ids alone (block arrival order cancels out)
     ids = sample.column("vec_id").to_numpy().astype(np.uint64)

@@ -1325,3 +1325,79 @@ SELECT s2.user_id, s2.last_event_id, s2.last_event_type, s2.last_value,
 FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
 WHERE s1.user_id IS NULL OR s1.last_event_id <> s2.last_event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered event-sequence conversion per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+FUNNEL_WINDOW_MIN = 2880  # per-step conversion window (48 h)
+
+
+def funnel_stages(sf_dir: str):
+    """Per-user conversion funnel over the ordered step sequence
+    ``signup → view → purchase`` with a per-step conversion window:
+    for every user with a signup, the earliest signup, the earliest
+    view STRICTLY AFTER it within ``FUNNEL_WINDOW_MIN`` minutes, and
+    the earliest purchase after that view within the same window, plus
+    the reached stage (1–3). The standard product-analytics sequence
+    query, and a shape SQL needs three self-joins for.
+
+    Partitioning assumption (same as ``session_windows``): one keyed
+    exchange on ``user_id`` puts a user's full history in one block, so
+    each stage is a vectorized filter + groupby-min + merge per block —
+    three dataframe ops, no per-user dispatch, regardless of how many
+    events a hot user has."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df[df["event_type"] == FUNNEL_STEPS[0]]
+             .groupby("user_id", as_index=False)["ts"].min()
+             .rename(columns={"ts": "signup_ts"}))
+        win = pd.Timedelta(minutes=FUNNEL_WINDOW_MIN)
+        v = (df[df["event_type"] == FUNNEL_STEPS[1]]
+             .merge(s, on="user_id"))
+        v = (v[(v["ts"] > v["signup_ts"])
+               & (v["ts"] <= v["signup_ts"] + win)]
+             .groupby("user_id", as_index=False)["ts"].min()
+             .rename(columns={"ts": "view_ts"}))
+        p = (df[df["event_type"] == FUNNEL_STEPS[2]]
+             .merge(v, on="user_id"))
+        p = (p[(p["ts"] > p["view_ts"])
+               & (p["ts"] <= p["view_ts"] + win)]
+             .groupby("user_id", as_index=False)["ts"].min()
+             .rename(columns={"ts": "purchase_ts"}))
+        out = s.merge(v, on="user_id", how="left").merge(
+            p, on="user_id", how="left")
+        out["stage"] = (1 + out["view_ts"].notna().astype("int64")
+                        + out["purchase_ts"].notna().astype("int64"))
+        return out
+
+    return repartition_by_key(ds, ["user_id"]).map_batches(
+        funnel, batch_format="pandas", batch_size=None
+    )
+
+
+FUNNEL_STAGES_SQL = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.ts) AS view_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
+   AND e.ts <= s.signup_ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+   AND e.ts <= v.view_ts + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, v.view_ts, p.purchase_ts,
+       CAST(1 + (v.user_id IS NOT NULL)::INT
+              + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+"""

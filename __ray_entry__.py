@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_last_purchase": R.asof_join_last_purchase,
         "session_windows": R.session_windows,
         "funnel_stages": R.funnel_stages,
+        "retention_cohorts": R.retention_cohorts,
         "distinct_users_per_type": R.distinct_users_per_type,
         "quantity_quantiles": R.quantity_quantiles,
         # training-data operators (north-rule additions)
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": S.ann_ivf_topk,
         "knn_graph": S.knn_graph,
         "kmeans_clusters": S.kmeans_clusters,
+        "cluster_balanced_sample": S.cluster_balanced_sample,
         "multimodal_features": M.multimodal_features,
         "multimodal_wav_decode": M.multimodal_wav_decode,
     }
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_last_purchase": R.ASOF_JOIN_LAST_PURCHASE_SQL,
         "session_windows": R.SESSION_WINDOWS_SQL,
         "funnel_stages": R.FUNNEL_STAGES_SQL,
+        "retention_cohorts": R.RETENTION_COHORTS_SQL,
         "distinct_users_per_type": R.DISTINCT_USERS_PER_TYPE_SQL,
         "quantity_quantiles": R.QUANTITY_QUANTILES_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
@@ -238,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": S.ANN_TOPK_SQL,
         "knn_graph": S.KNN_GRAPH_SQL,
         "kmeans_clusters": S.KMEANS_CLUSTERS_SQL,
+        "cluster_balanced_sample": S.CLUSTER_BALANCED_SAMPLE_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
         # omitted on purpose (rows-only): cdc_ingest_final_state

@@ -457,3 +457,51 @@ SELECT vec_id, cid AS cluster, cosine FROM (
                                AS DOUBLE), 4) DESC, c.cid) AS rn
    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
 """
+
+
+CLUSTER_SAMPLE_N = 20
+
+
+def cluster_balanced_sample(sf_dir: str, n_per_cluster: int = CLUSTER_SAMPLE_N):
+    """Cluster-balanced subsample: run the distributed k-means, then keep
+    ``n_per_cluster`` vectors per cluster chosen by the deterministic
+    Knuth-hash order — the semantic-diversity subsampling step (DCLM-style
+    cluster balancing) composed from two engine primitives. One extra
+    keyed exchange on the cluster id; selection is a per-block vectorized
+    rank (the ``stratified_sample`` pattern)."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    MULT, MOD = 2654435761, 4294967296  # Knuth hash, BIGINT-exact
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            out = df
+        else:
+            df = df.copy()
+            df["h"] = (df["vec_id"] * MULT) % MOD
+            df = df.sort_values(["cluster", "h", "vec_id"], kind="stable")
+            df["rn"] = df.groupby("cluster", sort=False).cumcount() + 1
+            out = df.loc[df["rn"] <= n_per_cluster]
+        return pa.table({
+            "vec_id": pa.array(out["vec_id"] if len(out) else [],
+                               pa.int64()),
+            "cluster": pa.array(out["cluster"] if len(out) else [],
+                                pa.int64()),
+        })
+
+    assigned = kmeans_clusters(sf_dir).select_columns(["vec_id", "cluster"])
+    return repartition_by_key(assigned, ["cluster"]).map_batches(
+        pick, batch_format="pandas", batch_size=None)
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = f"""
+WITH assigned AS ({KMEANS_CLUSTERS_SQL})
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+         ) AS rn
+  FROM assigned
+) WHERE rn <= {CLUSTER_SAMPLE_N}
+"""

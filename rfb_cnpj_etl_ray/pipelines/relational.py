@@ -1401,3 +1401,85 @@ SELECT s.user_id, s.signup_ts, v.view_ts, p.purchase_ts,
               + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage
 FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(sf_dir: str):
+    """Daily cohort retention: users grouped by the day of their FIRST
+    event; for each (cohort, day-offset) the count of cohort users
+    active that day. The classic retention matrix.
+
+    Partitioning assumption (the ``session_windows`` contract): one
+    keyed exchange on ``user_id`` puts a user's full history in one
+    block, so first-day and distinct-active-day are exact per block —
+    the per-block partial rows are already globally distinct and the
+    final groupby only sums disjoint counts (a distinct-count that
+    never ships user IDs through the wide aggregation)."""
+    from ray.data.aggregate import Sum
+
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # cohort key stays INT64 (days since epoch) through the shuffle:
+        # datetime keys round-trip through numpy datetime64[D] inside
+        # Ray's hash aggregators, churning actors (and at 4 CPUs the
+        # chained exchange→groupby starves outright); integers are inert
+        day = pd.Series(
+            df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            index=df.index)  # precision-agnostic (ns or us blocks)
+        df["cohort_day"] = day
+        first = df.groupby("user_id")["cohort_day"].transform("min")
+        df["day_offset"] = (day - first).astype("int64")
+        df["cohort_day"] = first
+        act = df[["user_id", "cohort_day", "day_offset"]].drop_duplicates()
+        out = act.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+            n=("user_id", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        # cohort buckets are whole per block after the second exchange;
+        # project the day ordinal back to the oracle's timestamp[us]
+        # surface here (declared-Arrow output keeps empty blocks stable)
+        if df.empty:
+            g = df
+        else:
+            g = df.groupby(["cohort_day", "day_offset"],
+                           as_index=False)["n"].sum()
+        days = (g["cohort_day"].to_numpy() * 86_400_000_000
+                if len(g) else [])
+        return pa.table({
+            "cohort": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+            "day_offset": pa.array(
+                g["day_offset"] if len(g) else [], pa.int64()),
+            "n_users": pa.array(g["n"] if len(g) else [], pa.int64()),
+        })
+
+    # second keyed exchange (cohort_day), NOT groupby().aggregate: Ray's
+    # hash-aggregate actor pool chained behind the first exchange
+    # starves at 4 CPUs; two chained exchanges + per-block combines
+    # schedule cleanly (same pattern as decontaminate_val)
+    partials = repartition_by_key(ds, ["user_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=None)
+    return repartition_by_key(partials, ["cohort_day"]).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+
+
+RETENTION_COHORTS_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+)
+SELECT cohort, CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY cohort, day_offset
+"""

@@ -21,6 +21,7 @@ CASES = [
     (R.incremental_hourly_activity, R.INCREMENTAL_HOURLY_ACTIVITY_SQL),
     (R.session_windows, R.SESSION_WINDOWS_SQL),
     (R.funnel_stages, R.FUNNEL_STAGES_SQL),
+    (R.retention_cohorts, R.RETENTION_COHORTS_SQL),
     (R.distinct_users_per_type, R.DISTINCT_USERS_PER_TYPE_SQL),
     (R.quantity_quantiles, R.QUANTITY_QUANTILES_SQL),
     (R.props_extract_stats, R.PROPS_EXTRACT_STATS_SQL),

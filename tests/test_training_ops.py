@@ -332,3 +332,14 @@ def test_kmeans_clusters_matches_oracle(ray_session):
     # label-structured synthetic embeddings
     assert df["vec_id"].is_unique
     assert df["cluster"].nunique() == S.KMEANS_K
+
+
+def test_cluster_balanced_sample_matches_oracle(ray_session):
+    """Cluster-balanced subsample: kmeans assignment composed with the
+    deterministic per-cluster Knuth-hash rank, vs the CTE-composed
+    oracle. Exactly n per surviving cluster."""
+    from rfb_cnpj_etl_ray.functions import similarity as S
+    assert_query_matches(
+        S.cluster_balanced_sample, S.CLUSTER_BALANCED_SAMPLE_SQL, SF_DIR)
+    df = to_pandas(S.cluster_balanced_sample(SF_DIR))
+    assert (df.groupby("cluster").size() == S.CLUSTER_SAMPLE_N).all()

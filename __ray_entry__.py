@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_groups": D.minhash_dedup_groups,
         "dedup_corpus": D.dedup_corpus,
         "simhash_fingerprints": D.simhash_fingerprints,
+        "simhash_near_dup_pairs": D.simhash_near_dup_pairs,
         "embedding_near_dup": D.embedding_near_dup,
         "ann_topk": S.ann_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_block_pairs": D.JACCARD_BLOCK_PAIRS_SQL,
         "jaccard_shingle_pairs": D.JACCARD_SHINGLE_PAIRS_SQL,
         "simhash_fingerprints": D.SIMHASH_FINGERPRINTS_SQL,
+        "simhash_near_dup_pairs": D.SIMHASH_NEAR_DUP_PAIRS_SQL,
         "minhash_lsh_candidates": D.MINHASH_LSH_CANDIDATES_SQL,
         "minhash_dedup_groups": D.MINHASH_DEDUP_GROUPS_SQL,
         "dedup_corpus": D.DEDUP_CORPUS_SQL,

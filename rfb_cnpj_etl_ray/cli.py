@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="dst partition count on first replication "
                          "(default: same as src)")
 
+    sp = sub.add_parser("lookup",
+                        help="point-read doc_ids (zone-map pruned, no scan)")
+    sp.add_argument("lake")
+    sp.add_argument("doc_ids", nargs="+")
+    sp.add_argument("--table", default="sequences")
+
     sp = sub.add_parser("merge",
                         help="MERGE INTO: apply a payload parquet as one "
                              "upsert epoch (optionally full-snapshot sync)")
@@ -272,6 +278,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(replicate(
                 args.src_lake, args.dst_lake, table=args.table,
                 num_partitions=args.num_partitions)))
+        elif args.cmd == "lookup":
+            from rfb_cnpj_etl_ray.pipelines.ingest import lookup
+
+            t = lookup(args.lake, args.doc_ids, table=args.table)
+            print(json.dumps({"rows": t.to_pylist()}, default=str))
         elif args.cmd == "merge":
             from rfb_cnpj_etl_ray.pipelines.ingest import merge_into
             from rfb_cnpj_etl_ray.sources.parquet import (

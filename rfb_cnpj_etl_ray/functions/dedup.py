@@ -787,3 +787,114 @@ FROM (SELECT group_id, COUNT(*) AS group_size
       FROM groups GROUP BY group_id) s
 JOIN documents d ON d.doc_id = s.group_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (hamming-bounded, pigeonhole-exact)
+# ---------------------------------------------------------------------------
+
+SH_HAM_MAX = 3
+#: 4 disjoint bands over the 62 simhash bits: any pair within hamming
+#: distance SH_HAM_MAX differs in ≤3 bits, so by pigeonhole it agrees
+#: EXACTLY on at least one band — recall is 1.0, not probabilistic.
+_SH_BANDS = ((0, 16), (16, 15), (31, 16), (47, 15))
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for int64 (numpy<2 has no bitwise_count)."""
+    return _POP8[x.astype(np.uint64).view(np.uint8).reshape(-1, 8)].sum(axis=1)
+
+
+def simhash_near_dup_pairs(sf_dir: str, ham_max: int = SH_HAM_MAX):
+    """All document pairs within ``ham_max`` simhash hamming distance —
+    the second near-dup family (bit-level, order-sensitive) next to
+    MinHash (set-level). Unlike LSH this banding is EXHAUSTIVE: 4
+    disjoint bands over 62 bits mean a ≤3-bit difference must leave one
+    band untouched, so the pair set is exact and the all-pairs DuckDB
+    oracle reproduces it bit-for-bit.
+
+    Scale shape (the ``minhash_lsh_candidates`` machinery): fingerprints
+    → (band, band_key) explode → keyed exchange → per-block bucket pair
+    construction with an in-block exact hamming check (xor + byte-LUT
+    popcount, no Python per pair) → packed-int64 pair dedup via a second
+    keyed exchange."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    fps = simhash_fingerprints(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["simhash"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        parts = []
+        for b, (lo, width) in enumerate(_SH_BANDS):
+            parts.append(pd.DataFrame({
+                "band": np.full(len(df), b, dtype=np.int64),
+                "band_key": (fp >> lo) & ((1 << width) - 1),
+                "doc_id": ids,
+                "simhash": fp,
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["band", "band_key", "doc_id"])
+        df = df.sort_values(["band", "band_key", "doc_id"], kind="stable")
+        n = len(df)
+        band = df["band"].to_numpy()
+        bh = df["band_key"].to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        bucket_end = np.repeat(starts + lens, lens)
+        m = bucket_end - np.arange(n) - 1
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        fp = df["simhash"].to_numpy(dtype=np.int64)
+        a_idx = np.repeat(np.arange(n), m)
+        b_idx = _seg_ranges(np.arange(n, dtype=np.int64) + 1, m)
+        if not len(a_idx):
+            return empty
+        ham = _popcount64(np.bitwise_xor(fp[a_idx], fp[b_idx]))
+        keep = ham <= ham_max
+        if not keep.any():
+            return empty
+        if ids.max() >= (1 << 31):
+            raise ValueError("simhash pair packing assumes doc_id < 2^31")
+        packed = (ids[a_idx[keep]] << 32) | ids[b_idx[keep]]
+        out = pd.DataFrame({"pair": packed, "hamming": ham[keep]})
+        return out.drop_duplicates("pair")
+
+    pairs = repartition_by_key(
+        fps.map_batches(explode, batch_format="pandas"),
+        ["band", "band_key"],
+    ).map_batches(block_pairs, batch_format="pandas", batch_size=None)
+
+    def unpack_block(df: pd.DataFrame) -> pd.DataFrame:
+        # a packed pair lands wholly in one block → block-local dedup
+        # finishes the global one (same pair from different bands
+        # carries the identical hamming)
+        d = df.drop_duplicates("pair")
+        p = d["pair"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_a": p >> 32,
+            "doc_b": p & 0xFFFFFFFF,
+            "hamming": d["hamming"].to_numpy(dtype=np.int64),
+        })
+
+    return repartition_by_key(pairs, ["pair"]).map_batches(
+        unpack_block, batch_format="pandas", batch_size=None)
+
+
+SIMHASH_NEAR_DUP_PAIRS_SQL = f"""
+WITH fps AS ({{SIMHASH_SQL}})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_HAM_MAX}
+""".replace("{SIMHASH_SQL}", SIMHASH_FINGERPRINTS_SQL)

@@ -7,8 +7,10 @@ idempotence / crash behavior are inherited (covered by test_ingest);
 these tests pin the MERGE semantics themselves.
 """
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pytest
 
 from rfb_cnpj_etl_ray.config import EngineConfig
 from rfb_cnpj_etl_ray.oracle import assert_states_equal
@@ -100,4 +102,37 @@ def test_merge_lsn_advances_past_history(ray_session, tmp_path):
     r2 = merge_into(lake, source, cfg=CFG)
     assert r2["merge_lsn"] > max(lsn_highs.values()) - 1
     assert_states_equal(base.sort_by([("doc_id", "ascending")]),
+                        read_lake_table(lake))
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_merge_into_random_mutations_full_sync(ray_session, tmp_path, seed):
+    """Property-style: a seeded random mutation of the base (drop /
+    rewrite / add in random proportions) merged with delete_missing must
+    leave the lake EXACTLY equal to the source — for any mutation mix."""
+    rng = np.random.default_rng(seed)
+    base = make_base(int(rng.integers(50, 300)), seed=seed, max_len=16)
+    lake = tmp_path / "lake"
+    init_lake(lake, TableSpec(name="sequences", schema=PAYLOAD_SCHEMA),
+              base=base, num_partitions=int(rng.integers(2, 8)))
+    rows = base.to_pylist()
+    out = []
+    for r in rows:
+        u = rng.random()
+        if u < 0.3:
+            continue  # dropped
+        if u < 0.6:
+            r = dict(r)
+            n = int(rng.integers(1, 6))
+            r["tokens"] = rng.integers(0, 1000, n).tolist()
+            r["n_tok"] = n
+        out.append(r)
+    for j in range(int(rng.integers(0, 40))):
+        n = int(rng.integers(1, 6))
+        out.append({"doc_id": f"rnd-{seed}-{j:04d}",
+                    "tokens": rng.integers(0, 1000, n).tolist(),
+                    "n_tok": n, "source": "prop"})
+    source = pa.Table.from_pylist(out, schema=base.schema)
+    merge_into(lake, source, cfg=CFG, delete_missing=True)
+    assert_states_equal(source.sort_by([("doc_id", "ascending")]),
                         read_lake_table(lake))

@@ -343,3 +343,16 @@ def test_cluster_balanced_sample_matches_oracle(ray_session):
         S.cluster_balanced_sample, S.CLUSTER_BALANCED_SAMPLE_SQL, SF_DIR)
     df = to_pandas(S.cluster_balanced_sample(SF_DIR))
     assert (df.groupby("cluster").size() == S.CLUSTER_SAMPLE_N).all()
+
+
+def test_simhash_near_dup_pairs_matches_oracle(ray_session):
+    """Hamming-bounded simhash pairs: 4 disjoint bands over 62 bits are
+    pigeonhole-EXHAUSTIVE for hamming<=3, so the banded engine output
+    equals the all-pairs oracle exactly (recall 1.0, not LSH-style
+    probabilistic)."""
+    from rfb_cnpj_etl_ray.functions import dedup as D
+    assert_query_matches(
+        D.simhash_near_dup_pairs, D.SIMHASH_NEAR_DUP_PAIRS_SQL, SF_DIR)
+    df = to_pandas(D.simhash_near_dup_pairs(SF_DIR))
+    assert (df["hamming"] <= D.SH_HAM_MAX).all()
+    assert (df["doc_a"] < df["doc_b"]).all()

@@ -994,3 +994,51 @@ def merge_into(
     report["merge_lsn"] = lsn0
     report["delete_missing"] = delete_missing
     return report
+
+
+def lake_token_stats(
+    lake_dir: str | Path,
+    table: str = "sequences",
+    bucket: int = 64,
+    as_of: int | None = None,
+) -> pa.Table:
+    """Training-corpus statistics straight off the committed lake (or a
+    time-travel epoch): token-length histogram plus per-bucket doc and
+    token totals — the numbers a pre-training data pipeline reads before
+    packing (sequence-length curriculum, padding budgets).
+
+    Streams: column-pruned ``read_lake(columns=["n_tok"])``, per-batch
+    vectorized bucket counts, per-block fold; only the histogram
+    (≤ max_len/bucket rows per block) ever reaches the driver."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_lake(lake_dir, table, columns=["n_tok"], as_of=as_of)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = (n // bucket) * bucket
+        uniq, inv = np.unique(b, return_inverse=True)
+        docs = np.bincount(inv)
+        toks = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(toks, inv, n)
+        return pa.table({
+            "bucket_lo": pa.array(uniq, pa.int64()),
+            "n_docs": pa.array(docs.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    folded = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if folded.empty:
+        return pa.table({"bucket_lo": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    g = folded.groupby("bucket_lo", as_index=False).sum().sort_values(
+        "bucket_lo")
+    return pa.table({
+        "bucket_lo": pa.array(g["bucket_lo"], pa.int64()),
+        "n_docs": pa.array(g["n_docs"], pa.int64()),
+        "n_tokens": pa.array(g["n_tokens"], pa.int64()),
+    })

@@ -136,3 +136,45 @@ def test_merge_into_random_mutations_full_sync(ray_session, tmp_path, seed):
     merge_into(lake, source, cfg=CFG, delete_missing=True)
     assert_states_equal(source.sort_by([("doc_id", "ascending")]),
                         read_lake_table(lake))
+
+
+def test_sigkill_mid_merge_then_remerge(ray_session, tmp_path):
+    """SIGKILL a real `cli merge` subprocess mid-flight, then re-merge in
+    this session: whatever the kill hit (source staging, anti-join,
+    ingest staging, commit), the re-run must land exactly at the source
+    state — the scratch events regenerate at the same LSN (no commit
+    advanced it) and the LWW fold absorbs any half-staged chunks."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = make_base(2000, seed=94, max_len=32)
+    lake = tmp_path / "lake"
+    init_lake(lake, TableSpec(name="sequences", schema=PAYLOAD_SCHEMA),
+              base=base, num_partitions=8)
+    source = _mutated_source(base)
+    src_path = tmp_path / "src.parquet"
+    pq.write_table(source, src_path)
+
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rfb_cnpj_etl_ray.cli", "--num-cpus", "4",
+         "merge", str(lake), str(src_path), "--delete-missing"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    time.sleep(4.0)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    time.sleep(1.0)
+
+    merge_into(lake, source, cfg=EngineConfig(num_partitions=8),
+               delete_missing=True)
+    assert_states_equal(source.sort_by([("doc_id", "ascending")]),
+                        read_lake_table(lake))

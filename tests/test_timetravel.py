@@ -166,3 +166,58 @@ def test_lake_changes_bad_epochs(ray_session, tmp_path):
         lake_changes(lake, 2, 1)
     with pytest.raises(RuntimeError, match="never committed"):
         lake_changes(lake, 1, 42)
+
+
+def test_lake_token_stats_matches_replay(ray_session, tmp_path):
+    """Corpus stats off the lake equal the same histogram over the
+    oracle-replayed state (and respect as_of time travel)."""
+    import numpy as np
+
+    from rfb_cnpj_etl_ray.config import EngineConfig
+    from rfb_cnpj_etl_ray.oracle import replay
+    from rfb_cnpj_etl_ray.pipelines.ingest import (
+        ingest,
+        lake_token_stats,
+    )
+    from rfb_cnpj_etl_ray.spec import PAYLOAD_SCHEMA, TableSpec
+    from rfb_cnpj_etl_ray.state.commitlog import init_lake
+    from rfb_cnpj_etl_ray.synth import (
+        make_base,
+        make_changelog,
+        write_changelog_segments,
+    )
+
+    base = make_base(300, seed=77, max_len=200)
+    events = make_changelog(2000, 300, seed=78, max_len=200)
+    log = tmp_path / "log"
+    write_changelog_segments(events, log, 2)
+    lake = tmp_path / "lake"
+    init_lake(lake, TableSpec(name="sequences", schema=PAYLOAD_SCHEMA),
+              base=base, num_partitions=4)
+    ingest(lake, log, cfg=EngineConfig(num_partitions=4))
+
+    def hist(state, bucket=64):
+        n = np.asarray(state.column("n_tok").to_pylist(), dtype=np.int64)
+        lo = (n // bucket) * bucket
+        out = {}
+        for b, t in zip(lo, n):
+            d = out.setdefault(int(b), [0, 0])
+            d[0] += 1
+            d[1] += int(t)
+        return {b: tuple(v) for b, v in sorted(out.items())}
+
+    expected = hist(replay(base, events))
+    got_tbl = lake_token_stats(lake)
+    got = {int(b): (int(d), int(t)) for b, d, t in zip(
+        got_tbl.column("bucket_lo").to_pylist(),
+        got_tbl.column("n_docs").to_pylist(),
+        got_tbl.column("n_tokens").to_pylist())}
+    assert got == expected
+
+    # as_of epoch 0 = the base snapshot alone
+    got0_tbl = lake_token_stats(lake, as_of=0)
+    got0 = {int(b): (int(d), int(t)) for b, d, t in zip(
+        got0_tbl.column("bucket_lo").to_pylist(),
+        got0_tbl.column("n_docs").to_pylist(),
+        got0_tbl.column("n_tokens").to_pylist())}
+    assert got0 == hist(base)

@@ -32,6 +32,22 @@ from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
 from rfb_cnpj_etl_ray.functions.text import WS_RE
 
 
+def _spill_dir(sf_dir: str) -> "Path":
+    """Scratch spill root keyed by the dataset's ABSOLUTE path (short
+    hash), not just its basename — two datasets that merely share a
+    directory name must not rmtree each other's live round spills.
+    Concurrent calls on the SAME dataset still share the root (the
+    bench/test flows are sequential; document before parallelizing)."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    key = hashlib.sha1(
+        os.path.abspath(str(sf_dir)).encode()).hexdigest()[:8]
+    return (Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
+            / "minhash_spill" / f"{Path(sf_dir).name}-{key}")
+
+
 def _read_docs(sf_dir: str, columns=None):
     from rfb_cnpj_etl_ray.sources.parquet import read_table
 
@@ -417,16 +433,13 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
     # living in the store for the rest of the loop. The previous round's
     # spill is deleted as soon as the next one is on disk; the last
     # spill (the final plan's root) is wiped at the NEXT call.
-    import os
     import shutil
-    from pathlib import Path
 
-    spill_root = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
-                  / "rfb_cnpj_etl_ray" / "minhash_spill"
-                  / Path(sf_dir).name)
+    spill_root = _spill_dir(sf_dir)
     shutil.rmtree(spill_root, ignore_errors=True)
 
-    prev_spill: Path | None = None
+    prev_spill = None
+    converged = False
     for r in range(rounds):
         check = r > 0  # round 0 always changes something; skip its cost
         if check:
@@ -465,7 +478,16 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
                     zero_copy_batch=True).take_all()
             )
             if changed == 0:
+                converged = True
                 break
+
+    if not converged:
+        # silent partial propagation would break the exact-component
+        # contract (MINHASH_DEDUP_GROUPS_SQL equivalence) — fail loudly
+        raise RuntimeError(
+            f"minhash_dedup_groups did not reach a fixed point within "
+            f"rounds={rounds} (candidate-graph diameter exceeds the "
+            f"cap); call with a larger rounds=")
 
     def partial_finalize(df: pd.DataFrame) -> pd.DataFrame:
         # per-block pre-reduce: ≤|docs-in-block| rows continue
@@ -478,10 +500,20 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
     partial = ds.map_batches(partial_finalize, batch_format="pandas",
                              batch_size=None)
 
+    # wordless docs never enter a bucket (MinHasher drops them) but ARE
+    # their own singleton components in the exact labeling — union the
+    # identity label for every doc; labels only ever decrease from the
+    # identity, so one min per doc yields the true component for worded
+    # docs and doc_id itself for wordless ones
+    identity = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "group_id": df["doc_id"]}),
+        batch_format="pandas")
+
     def final_min(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("doc_id", as_index=False)["group_id"].min()
 
-    return repartition_by_key(partial, ["doc_id"]).map_batches(
+    return repartition_by_key(partial.union(identity), ["doc_id"]).map_batches(
         final_min, batch_format="pandas", batch_size=None)
 
 
@@ -721,13 +753,15 @@ def dedup_corpus(sf_dir: str, rounds: int = 8):
     # function adds two more — >2 hash-shuffle ops in ONE lazy plan
     # starves small clusters (each holds an actor pool; observed 4-CPU
     # deadlock), so the checkpoint caps every plan at ≤2
-    lab_path = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
-                / "rfb_cnpj_etl_ray" / "minhash_spill"
-                / Path(sf_dir).name / "labels")
+    lab_path = _spill_dir(sf_dir) / "labels"
     shutil.rmtree(lab_path, ignore_errors=True)
     lab_path.mkdir(parents=True, exist_ok=True)
     labels.write_parquet(str(lab_path))
-    labels = ray.data.read_parquet(str(lab_path))
+    from rfb_cnpj_etl_ray.sources.parquet import sized_blocks as _sb
+
+    lab_files = sorted(str(q) for q in lab_path.glob("*.parquet"))
+    labels = ray.data.read_parquet(
+        lab_files, override_num_blocks=_sb(lab_files))
 
     def group_stats(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("group_id", as_index=False).agg(

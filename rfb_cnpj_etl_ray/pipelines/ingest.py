@@ -562,7 +562,7 @@ def lake_changes(
     ]
     if not touched:
         return ray.data.from_arrow(out_schema.empty_table())
-    to_commit = log.commit_at(to_epoch) or log.latest()
+    to_commit = log.commit_at(to_epoch)  # validated non-None above
     lsn_highs = {
         int(k): v.get("lsn_high")
         for k, v in to_commit["partitions"].items()

@@ -655,10 +655,28 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
 
     from ray.data.aggregate import Sum
 
+    import hashlib
+
+    key = hashlib.sha1(
+        os.path.abspath(str(sf_dir)).encode()).hexdigest()[:8]
     scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
-               / "rfb_cnpj_etl_ray" / "incr_view" / Path(sf_dir).name)
+               / "rfb_cnpj_etl_ray" / "incr_view"
+               / f"{Path(sf_dir).name}-{key}")  # abspath-keyed: same-name
+    # datasets must not clobber each other's checkpoints
     if not resume:
         shutil.rmtree(scratch, ignore_errors=True)
+
+    # resume FIRST: the newest _DONE-marked checkpoint already folds
+    # every epoch up to and including its own — restart AFTER it
+    # (earlier checkpoints were rolled away; a half-written dir has no
+    # marker). Checking before the arrivals rebuild keeps a fully-caught
+    # -up warm call O(view), not O(log): rebuilding the (consumed)
+    # arrivals split when no epochs remain would re-scan the raw log.
+    start = -1
+    if resume:
+        start = max((ep for ep in range(VIEW_EPOCHS)
+                     if (scratch / f"epoch_{ep}" / "_DONE").exists()),
+                    default=-1)
 
     # arrival simulation: route the log into per-epoch directories once
     arrivals = scratch / "arrivals"
@@ -669,7 +687,7 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
 
     from rfb_cnpj_etl_ray.sources.parquet import read_table, sized_blocks
 
-    if not (arrivals / "_DONE").exists():
+    if start + 1 < VIEW_EPOCHS and not (arrivals / "_DONE").exists():
         shutil.rmtree(arrivals, ignore_errors=True)
         ev = f"{sf_dir}/events.parquet"
         read_table(
@@ -680,15 +698,6 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
         ).write_parquet(str(arrivals), partition_cols=["epoch"])
         (arrivals / "_DONE").touch()
 
-    # resume: the newest _DONE-marked checkpoint already folds every
-    # epoch up to and including its own — restart AFTER it (earlier
-    # checkpoints were rolled away; a half-written dir has no marker)
-    start = -1
-    if resume:
-        start = max((ep for ep in range(VIEW_EPOCHS)
-                     if (scratch / f"epoch_{ep}" / "_DONE").exists()),
-                    default=-1)
-
     prev: Path | None = scratch / f"epoch_{start}" if start >= 0 else None
     view = (ray.data.read_parquet(str(prev), file_extensions=["parquet"])
             if prev is not None else None)
@@ -698,12 +707,18 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
         # blocks and every downstream stage pays the task wave
         files = sorted(
             str(p) for p in (arrivals / f"epoch={ep}").glob("*.parquet"))
-        partials = ray.data.read_parquet(
-            files,
-            columns=["user_id", "ts", "value"],
-            override_num_blocks=sized_blocks(files),
-        ).map_batches(
-            _hourly_partial, batch_format="pyarrow", zero_copy_batch=True)
+        if files:
+            partials = ray.data.read_parquet(
+                files,
+                columns=["user_id", "ts", "value"],
+                override_num_blocks=sized_blocks(files),
+            ).map_batches(
+                _hourly_partial, batch_format="pyarrow",
+                zero_copy_batch=True)
+        else:
+            # an epoch no event routed to is a no-op fold, not an error
+            partials = ray.data.from_arrow(
+                _HOURLY_PARTIAL_SCHEMA.empty_table())
         if view is not None:
             partials = partials.union(view)
         folded = partials.groupby(["user_id", "hour"]).aggregate(
@@ -982,9 +997,11 @@ def session_windows(sf_dir: str):
         is_start = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
         df["session_idx"] = is_start.astype("int64").groupby(
             df["user_id"], sort=False).cumsum()
-        # exact cents: value is 2-decimal; round-half-away matches the
-        # oracle's round() (ADVICE r2 rounding pin)
-        cents = np.round(df["value"].to_numpy() * 100.0)
+        # exact cents, HALF-AWAY like DuckDB round() (np.round is
+        # half-to-even — ADVICE r2 rounding pin, latent on 2-decimal
+        # fixtures but wrong on exact .5 boundaries)
+        v = df["value"].to_numpy() * 100.0
+        cents = np.copysign(np.floor(np.abs(v) + 0.5), v)
         df["cents"] = cents.astype("int64")
         out = df.groupby(["user_id", "session_idx"], as_index=False).agg(
             session_start=("ts", "min"), session_end=("ts", "max"),
@@ -1165,7 +1182,8 @@ SELECT event_type,
        MAX(k) AS max_k
 FROM (
   SELECT event_type,
-         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) AS k
   FROM events
 ) GROUP BY event_type
 """

@@ -88,8 +88,13 @@ def test_incremental_view_resumes_from_checkpoint(ray_session, tmp_path, monkeyp
 
     from tests.util_compare import assert_query_matches
 
+    import hashlib
+    import os
+
     monkeypatch.setenv("GRAFT_TMP", str(tmp_path))
-    scratch = tmp_path / "rfb_cnpj_etl_ray" / "incr_view" / Path(SF_DIR).name
+    key = hashlib.sha1(os.path.abspath(SF_DIR).encode()).hexdigest()[:8]
+    scratch = (tmp_path / "rfb_cnpj_etl_ray" / "incr_view"
+               / f"{Path(SF_DIR).name}-{key}")
 
     # cold start with resume=True (no state): builds from scratch
     assert_query_matches(
@@ -98,8 +103,10 @@ def test_incremental_view_resumes_from_checkpoint(ray_session, tmp_path, monkeyp
     assert (scratch / f"epoch_{R.VIEW_EPOCHS - 1}" / "_DONE").exists()
     assert not (scratch / "arrivals").exists()  # log consumed
 
-    # warm resume: only the final checkpoint remains; recompute would
-    # need the (deleted) arrivals, so a correct answer proves the skip
+    # warm resume: only the final checkpoint remains; the fixed path
+    # must NOT rebuild arrivals (no epochs remain — a rebuild would be
+    # a full O(log) scan on a fully-caught-up view)
     assert_query_matches(
         lambda sf: R.incremental_hourly_activity(sf, resume=True),
         R.INCREMENTAL_HOURLY_ACTIVITY_SQL, SF_DIR)
+    assert not (scratch / "arrivals").exists()  # warm call stayed O(view)

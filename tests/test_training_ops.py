@@ -356,3 +356,56 @@ def test_simhash_near_dup_pairs_matches_oracle(ray_session):
     df = to_pandas(D.simhash_near_dup_pairs(SF_DIR))
     assert (df["hamming"] <= D.SH_HAM_MAX).all()
     assert (df["doc_a"] < df["doc_b"]).all()
+
+
+def test_minhash_dedup_wordless_docs_are_singletons(ray_session, tmp_path):
+    """A whitespace-only document never enters an LSH bucket, but the
+    exact component labeling still owns it as its own singleton group —
+    engine and oracle must agree on corpora containing such docs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from rfb_cnpj_etl_ray.functions import dedup as D
+
+    src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    extra = pd.DataFrame({
+        "doc_id": [900001, 900002],
+        "text": ["", "   \t "],
+        "lang": ["en", "en"],
+        "source": ["blank", "blank"],
+        "n_chars": [0, 5],
+    })
+    docs = pd.concat([src, extra], ignore_index=True)
+    d = tmp_path / "sfblank"
+    d.mkdir()
+    import pyarrow as pa_
+
+    pq_.write_table(pa_.Table.from_pandas(docs, preserve_index=False),
+                    d / "documents.parquet")
+
+    got = to_pandas(D.minhash_dedup_groups(str(d)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(D.MINHASH_DEDUP_GROUPS_SQL).fetchdf()
+    con.close()
+    got = got.sort_values(["doc_id"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(got) == len(want) == len(docs)
+    assert (got["group_id"].to_numpy() == want["group_id"].to_numpy()).all()
+    # the blank docs are their own groups
+    blanks = got[got["doc_id"] >= 900001]
+    assert (blanks["group_id"] == blanks["doc_id"]).all()
+
+
+def test_minhash_dedup_raises_on_rounds_cap(ray_session):
+    """Exiting the propagation loop without a fixed point must be loud:
+    silent partial labels would break the exact-component contract."""
+    import pytest as _pytest
+
+    from rfb_cnpj_etl_ray.functions import dedup as D
+
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        # rounds=1 leaves no round to CONFIRM convergence on this corpus
+        D.minhash_dedup_groups(SF_DIR, rounds=1).materialize()

@@ -162,6 +162,25 @@ def ingest(
         reporter = ProgressReporter(total=events_read,
                                     label=f"{table} epoch {epoch}")
 
+    try:
+        return _ingest_body(
+            lake_dir, log_dir, table, cfg, t0, table_dir, log, last,
+            num_partitions, committed_segments, payload_schema,
+            change_schema, paths, new_segs, seg_id, events_read, epoch,
+            merger_kwargs, reporter)
+    finally:
+        # a failed epoch must not leak the progress render thread /
+        # counter actor (they would print forever in a tail loop)
+        if reporter is not None:
+            reporter.stop()
+
+
+def _ingest_body(lake_dir, log_dir, table, cfg, t0, table_dir, log, last,
+                 num_partitions, committed_segments, payload_schema,
+                 change_schema, paths, new_segs, seg_id, events_read,
+                 epoch, merger_kwargs, reporter):
+    import time
+
     ds = ray.data.read_parquet(paths, schema=change_schema)
     if cfg.shuffle == "staged":
         # two-phase staged exchange (see stages/merge.py): no sort
@@ -266,14 +285,29 @@ def ingest(
     partitions = dict(last["partitions"])
     for row in staged:
         prev = partitions.get(str(row["part"]), {})
+        # checkpoint never regresses: a LATE lower-LSN segment applied in
+        # a later epoch must not pull lsn_high below rows already
+        # materialized at higher LSNs (merge_into / compact / lake_changes
+        # all key off this watermark)
+        lsn_high = max(
+            (x for x in (prev.get("lsn_high"), row["lsn_high"])
+             if x is not None),
+            default=None)
         if cfg.shuffle == "staged" and cfg.write_mode == "delta":
             # merge-on-read: keep the base snapshot, append the delta;
             # physical rows accumulate, logical live count is unknown
             # until the next fold (compact / cow epoch / read).
+            # a base with UNKNOWN bounds (init_lake commits no zone map)
+            # must yield unknown merged bounds — delta-only bounds would
+            # let lookup() prune partitions that still hold live base rows
+            prev_has_rows = bool(prev.get("file") or prev.get("deltas"))
+            bounds_unknown = prev_has_rows and prev.get("doc_id_min") is None
             mins = [m for m in (prev.get("doc_id_min"), row["doc_id_min"])
                     if m is not None]
             maxs = [m for m in (prev.get("doc_id_max"), row["doc_id_max"])
                     if m is not None]
+            if bounds_unknown:
+                mins, maxs = [], []
             # first write into a hole (partition with no committed file —
             # possible after init_lake_distributed on an untouched
             # partition): the delta IS the partition's complete LWW state,
@@ -291,7 +325,7 @@ def ingest(
                 "rows": int(prev.get("rows", 0)) + row["rows"],
                 "live_rows": None,
                 "bytes": int(prev.get("bytes", 0)) + row["bytes"],
-                "lsn_high": row["lsn_high"],
+                "lsn_high": lsn_high,
                 "events_applied": row["events_applied"],
                 "doc_id_min": min(mins) if mins else None,
                 "doc_id_max": max(maxs) if maxs else None,
@@ -302,7 +336,7 @@ def ingest(
                 "rows": row["rows"],
                 "live_rows": row["live_rows"],
                 "bytes": row["bytes"],
-                "lsn_high": row["lsn_high"],
+                "lsn_high": lsn_high,
                 "events_applied": row["events_applied"],
                 "doc_id_min": row["doc_id_min"],
                 "doc_id_max": row["doc_id_max"],
@@ -335,8 +369,6 @@ def ingest(
         },
     }
     log.append(record)
-    if reporter is not None:
-        reporter.stop()
     if cfg.shuffle == "staged":
         import shutil as _shutil
 
@@ -456,7 +488,13 @@ def read_lake(
         # incompatible with both partitioning=None and an explicit
         # unified schema); the projection drops columns before anything
         # crosses the object store.
-        ds = ray.data.read_parquet(files, schema=int_sch, partitioning=None)
+        if not files:
+            # a freshly-initialized empty table has only file-less
+            # partition holes; read_parquet([]) would raise
+            ds = ray.data.from_arrow(int_sch.empty_table())
+        else:
+            ds = ray.data.read_parquet(
+                files, schema=int_sch, partitioning=None)
         if read_cols is not None:
             ds = ds.select_columns(read_cols)
     else:
@@ -483,11 +521,16 @@ def read_lake(
         ).map_batches(fold, batch_format="pyarrow", batch_size=1)
     if include_tombstones:
         return ds
-    return ds.map_batches(
+    ds = ds.map_batches(
         lambda t: strip_internal(t),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if columns is not None:
+        # the delta fold path loads full-width rows (the fold needs every
+        # column); project here so BOTH paths honor the caller's columns
+        ds = ds.select_columns(columns)
+    return ds
 
 
 def _require_epoch_files(table_dir: Path, log: "CommitLog", epoch: int) -> None:
@@ -546,6 +589,17 @@ def lake_changes(
                 f"(latest epoch: {log.latest_epoch()})")
     if from_epoch > to_epoch:
         raise ValueError(f"from_epoch {from_epoch} > to_epoch {to_epoch}")
+    old_np = log.commit_at(from_epoch)["num_partitions"]
+    new_np = log.commit_at(to_epoch)["num_partitions"]
+    if old_np != new_np:
+        # partition-id diffs are meaningless across a repartition_lake:
+        # every moved key would surface as a spurious delete+insert pair
+        # (and the delete would WIN LWW downstream) — fail loudly;
+        # replicate across a repartition with a fresh snapshot bootstrap
+        raise ValueError(
+            f"change feed across a repartition boundary "
+            f"({old_np} -> {new_np} partitions between epochs "
+            f"{from_epoch} and {to_epoch}) is not supported")
     payload_schema = log.committed_schema(to_epoch)
     int_sch = internal_schema(payload_schema)
     out_fields = list(payload_schema) + [pa.field("change_type", pa.string())]
@@ -563,8 +617,15 @@ def lake_changes(
     if not touched:
         return ray.data.from_arrow(out_schema.empty_table())
     to_commit = log.commit_at(to_epoch)  # validated non-None above
+    # fallback LSN for deletes whose tombstone was GC'd by compact: such
+    # a tombstone had lsn <= the recorded compaction watermark, and every
+    # LATER admitted event has lsn > watermark — so the watermark is the
+    # tightest safe bound. lsn_high would overshoot: a late segment
+    # between watermark and lsn_high could legitimately resurrect the
+    # key, and a feed-shipped delete at lsn_high would wrongly win.
+    wm = to_commit.get("compaction_watermark")
     lsn_highs = {
-        int(k): v.get("lsn_high")
+        int(k): (wm if wm is not None else v.get("lsn_high"))
         for k, v in to_commit["partitions"].items()
     }
     sch_json = schema_to_jsonable(payload_schema)
@@ -937,7 +998,11 @@ def merge_into(
         raise RuntimeError(
             f"lake table {table_dir} not initialized (run init_lake first)")
     ckpts = log.checkpoint_lsns()
-    lsn0 = max(ckpts.values(), default=0) + 1
+    # past BOTH the committed checkpoints and the compaction watermark:
+    # events at lsn <= watermark are dropped as late by ingest, so a
+    # watermark above lsn_high would silently no-op the whole merge
+    wm = last.get("compaction_watermark") or 0
+    lsn0 = max(max(ckpts.values(), default=0), wm) + 1
 
     if isinstance(source, pa.Table):
         source = ray.data.from_arrow(source)

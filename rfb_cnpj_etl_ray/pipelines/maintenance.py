@@ -347,10 +347,7 @@ def compact_deltas(
     int_sch = internal_schema(schema_from_jsonable(commit["schema"]))
     epoch = commit["epoch"] + 1
 
-    def delta_rows_of(v: dict) -> int:
-        # rows = base + deltas cumulative; base live unknown in delta mode,
-        # so estimate delta mass from file row counts recorded at commit
-        return int(v.get("rows", 0))
+    import pyarrow.parquet as pq_
 
     items = []
     for p, v in commit["partitions"].items():
@@ -358,8 +355,9 @@ def compact_deltas(
         if not deltas:
             continue
         base_file = v.get("file")
-        import pyarrow.parquet as pq_
-
+        # size the tier from parquet FOOTER row counts (driver-side
+        # metadata stats; one small read per candidate partition — only
+        # partitions that actually carry deltas are opened)
         base_rows = (
             pq_.read_metadata(table_dir / base_file).num_rows
             if base_file is not None else 0

@@ -116,9 +116,25 @@ DOC_ID_COLUMNS: dict[str, tuple[list[str], str]] = {
     "simples": (["cnpj_basico"], ""),
     "socio": (["cnpj_basico", "identificador_socio", "cnpj_cpf_socio",
                "cod_qualificacao_socio"], "|"),
-    "estabelecimento_cnae_sec": (["cnpj_basico", "cnpj_ordem", "cnpj_dv",
-                                  "cod_cnae"], "-"),
+    # full 14-digit CNPJ (no separator) + '-' + cod_cnae: encoded as a
+    # GROUPED spec — (groups, group_sep) where each group is joined with
+    # no separator — so the registry IS the key rule (a flat column list
+    # with '-' would compute b-o-d-c, not bod-c, and silently re-key the
+    # table for any generic consumer)
+    "estabelecimento_cnae_sec": ([["cnpj_basico", "cnpj_ordem", "cnpj_dv"],
+                                  ["cod_cnae"]], "-"),
 }
+
+
+def derive_doc_id(batch: pa.Table, table: str) -> pa.Array:
+    """The ONE key rule: build a table's doc_id from DOC_ID_COLUMNS.
+    Grouped specs join each inner group with no separator, then the
+    groups with the declared separator."""
+    cols, sep = DOC_ID_COLUMNS[table]
+    if cols and isinstance(cols[0], list):
+        parts = [_concat_cols(batch, g, "") for g in cols]
+        return pc.binary_join_element_wise(*parts, sep)
+    return _concat_cols(batch, cols, sep)
 
 
 def _lake_schema(table: str) -> pa.Schema:
@@ -206,13 +222,7 @@ def prepare_batch(batch: pa.Table, table: str) -> pa.Table:
                 idx, pa.field("capital_social", pa.float64()),
                 pc.cast(batch.column(idx), pa.float64()),
             )
-    if table == "estabelecimento_cnae_sec":
-        # full 14-digit CNPJ + '-' + cod_cnae
-        full = _concat_cols(batch, ["cnpj_basico", "cnpj_ordem", "cnpj_dv"], "")
-        doc_id = pc.binary_join_element_wise(full, batch.column("cod_cnae"), "-")
-    else:
-        cols, sep = DOC_ID_COLUMNS[table]
-        doc_id = _concat_cols(batch, cols, sep)
+    doc_id = derive_doc_id(batch, table)
     batch = batch.add_column(0, pa.field("doc_id", pa.string()), doc_id)
     return conform_table(batch, spec.schema)
 
@@ -288,6 +298,27 @@ def _br_money(values) -> "pd.Series":
     return s.str.replace(",", "@").str.replace(".", ",").str.replace("@", ".")
 
 
+def _zfill(series, width):
+    """Zero-pad a fixture column (shared by both fixture generators so
+    the CSV dialect can never drift between them)."""
+    return series.astype(str).str.zfill(width)
+
+
+def _write_fixture_zip(out_dir, name: str, member: str, df) -> str:
+    """Headerless ';' latin-1 CSV inside a zip — the reference's exact
+    input container (one definition; both generators use it)."""
+    import io
+    import zipfile
+    from pathlib import Path
+
+    buf = io.StringIO()
+    df.to_csv(buf, sep=";", header=False, index=False, lineterminator="\n")
+    path = Path(out_dir) / name
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(member, buf.getvalue().encode("latin-1"))
+    return str(path)
+
+
 def synth_cnpj_fixture(sf_dir: str, out_dir) -> list[str]:
     """Write Empresas0.zip / Estabelecimentos0.zip / Paises.zip shaped
     exactly like the reference's inputs (headerless latin-1 ';' CSV in a
@@ -305,15 +336,10 @@ def synth_cnpj_fixture(sf_dir: str, out_dir) -> list[str]:
     out.mkdir(parents=True, exist_ok=True)
 
     def z(series, width):
-        return series.astype(str).str.zfill(width)
+        return _zfill(series, width)
 
     def write_zip(name: str, member: str, df: pd.DataFrame) -> str:
-        buf = io.StringIO()
-        df.to_csv(buf, sep=";", header=False, index=False, lineterminator="\n")
-        path = out / name
-        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-            zf.writestr(member, buf.getvalue().encode("latin-1"))
-        return str(path)
+        return _write_fixture_zip(out, name, member, df)
 
     paths = []
 
@@ -599,15 +625,10 @@ def synth_cnpj_fixture_full(sf_dir: str, out_dir) -> list[str]:
     paths = synth_cnpj_fixture(sf_dir, out)
 
     def z(series, width):
-        return series.astype(str).str.zfill(width)
+        return _zfill(series, width)
 
     def write_zip(name: str, member: str, df: pd.DataFrame) -> str:
-        buf = io.StringIO()
-        df.to_csv(buf, sep=";", header=False, index=False, lineterminator="\n")
-        path = out / name
-        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-            zf.writestr(member, buf.getvalue().encode("latin-1"))
-        return str(path)
+        return _write_fixture_zip(out, name, member, df)
 
     # Simples ← orders (one row per order; real dates through M4)
     orders = pq.read_table(

@@ -184,8 +184,20 @@ class WavDecoder:
                 "duration_ms": nframes * 1000 // rate,
                 "rms": rms,
             })
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_WAV_OUT_SCHEMA)
 
+
+#: declared decoder output schema: an EMPTY input block must still
+#: carry the six columns (a schema-less zero-column table breaks block
+#: concat — the hazard every other kernel guards with declared output)
+_WAV_OUT_SCHEMA = pa.schema([
+    pa.field("doc_id", pa.int64()),
+    pa.field("sample_rate", pa.int64()),
+    pa.field("n_channels", pa.int64()),
+    pa.field("n_frames", pa.int64()),
+    pa.field("duration_ms", pa.int64()),
+    pa.field("rms", pa.int64()),
+])
 
 #: WAV fixture parameters (shared with the SQL oracle below)
 _WAV_RATE = 8000

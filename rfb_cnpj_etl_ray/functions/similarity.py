@@ -70,9 +70,11 @@ def ann_topk(sf_dir: str):
             out = pd.DataFrame(
                 {"vec_id": batch["vec_id"], "cosine": np.round(sims, 4)}
             )
-            return out.nlargest(TOP_K, ["cosine"]).sort_values(
-                ["cosine", "vec_id"], ascending=[False, True]
-            )
+            # sort+head, not nlargest: positional tie-breaks on the
+            # ROUNDED cosine could drop a globally-winning smaller
+            # vec_id at the local top-k boundary
+            return out.sort_values(["cosine", "vec_id"],
+                                   ascending=[False, True]).head(TOP_K)
 
     ds = _read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -82,15 +84,19 @@ def ann_topk(sf_dir: str):
     return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)
 
 
+# rank by the ROUNDED cosine with vec_id tie-break — the engine's rule —
+# and evaluate in DOUBLE like the engine's float64 matmul (the KNN_GRAPH
+# pattern); ranking by the raw float32 similarity could keep a different
+# row at the LIMIT boundary when two cosines round equal
 ANN_TOPK_SQL = f"""
 SELECT vec_id,
        ROUND(CAST(list_cosine_similarity(
-           embedding, (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+           CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            ORDER BY vec_id LIMIT 1)
        ) AS DOUBLE), 4) AS cosine
 FROM embeddings
-ORDER BY list_cosine_similarity(
-    embedding, (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
-) DESC, vec_id ASC
+ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """
 
@@ -129,9 +135,11 @@ def _fit_centroids(
         ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow", batch_size=None))
     sample = pa.concat_tables(sampled) if sampled else None
-    if sample is None or sample.num_rows == 0:
-        sample = pa.table({"vec_id": pa.array([], pa.int64()),
-                           "embedding": pa.array([], pa.list_(pa.float32()))})
+    if sample is None or sample.num_rows < num_centroids:
+        raise ValueError(
+            f"IVF centroid fit needs >= {num_centroids} sampled vectors, "
+            f"got {0 if sample is None else sample.num_rows} — corpus too "
+            f"small for num_centroids={num_centroids}")
     # order by the same hash → the retained subset is a deterministic
     # function of vec_ids alone (block arrival order cancels out)
     ids = sample.column("vec_id").to_numpy().astype(np.uint64)
@@ -186,7 +194,8 @@ def ann_ivf_topk(sf_dir: str):
                 {"vec_id": batch["vec_id"].to_numpy()[mask],
                  "cosine": np.round(sims, 4)}
             )
-            return out.nlargest(TOP_K, ["cosine"])
+            return out.sort_values(["cosine", "vec_id"],
+                                   ascending=[False, True]).head(TOP_K)
 
     ds = _read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -338,6 +347,10 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
     streams. Empty clusters drop out (both sides)."""
     import pyarrow.parquet as pq
 
+    if k > 64:
+        raise ValueError(
+            f"kmeans_clusters supports k <= 64 (packed tie-break key "
+            f"stride), got k={k}")
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", k)])
@@ -471,14 +484,14 @@ def cluster_balanced_sample(sf_dir: str, n_per_cluster: int = CLUSTER_SAMPLE_N):
     rank (the ``stratified_sample`` pattern)."""
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
-    MULT, MOD = 2654435761, 4294967296  # Knuth hash, BIGINT-exact
+    from rfb_cnpj_etl_ray.functions.text import knuth_hash
 
     def pick(df: pd.DataFrame) -> pa.Table:
         if df.empty:
             out = df
         else:
             df = df.copy()
-            df["h"] = (df["vec_id"] * MULT) % MOD
+            df["h"] = knuth_hash(df["vec_id"].to_numpy())
             df = df.sort_values(["cluster", "h", "vec_id"], kind="stable")
             df["rn"] = df.groupby("cluster", sort=False).cumcount() + 1
             out = df.loc[df["rn"] <= n_per_cluster]
@@ -500,7 +513,8 @@ SELECT vec_id, cluster FROM (
   SELECT vec_id, cluster,
          ROW_NUMBER() OVER (
            PARTITION BY cluster
-           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+           ORDER BY CAST(CAST(vec_id AS HUGEINT) * 2654435761
+                         % 4294967296 AS BIGINT), vec_id
          ) AS rn
   FROM assigned
 ) WHERE rn <= {CLUSTER_SAMPLE_N}

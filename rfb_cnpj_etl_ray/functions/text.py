@@ -516,7 +516,7 @@ def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
         tok, cnt = np.unique(flat.astype(str), return_counts=True)
         return pd.DataFrame({"token": tok, "n": cnt.astype(np.int64)})
 
-    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    ds = _read_docs(sf_dir, ["text"]).map_batches(
         partial, batch_format="pandas")
     return _topk_by_count(ds, "token", k)
 
@@ -535,7 +535,23 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT {TOP_TOKENS_K}
 
 STRATA_K = 40
 _SAMPLE_MULT = 2654435761          # Knuth multiplicative hash
-_SAMPLE_MOD = 4294967296           # 2^32 (BIGINT-exact in SQL)
+_SAMPLE_MOD = 4294967296           # 2^32
+
+
+def knuth_hash(ids) -> "np.ndarray":
+    """(id * 2654435761) % 2^32, overflow-safe: the product is taken in
+    uint64 (wrap = mod 2^64, which preserves the low 32 bits exactly),
+    so ids beyond ~3.5e9 — realistic at 100 TB — hash identically to the
+    SQL oracle's HUGEINT form instead of wrapping int64 negative."""
+    a = np.asarray(ids, dtype=np.uint64)
+    return ((a * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)).astype(
+        np.int64)
+
+
+#: the SQL twin of ``knuth_hash`` — HUGEINT keeps the product exact
+#: where a BIGINT multiply would raise on large ids
+KNUTH_HASH_SQL = (f"CAST(CAST({{col}} AS HUGEINT) * {_SAMPLE_MULT} "
+                  f"% {_SAMPLE_MOD} AS BIGINT)")
 
 
 def stratified_sample(sf_dir: str, k: int = STRATA_K):
@@ -553,7 +569,7 @@ def stratified_sample(sf_dir: str, k: int = STRATA_K):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "lang": pd.Series([], dtype="object")})
         df = df.copy()
-        df["h"] = (df["doc_id"] * _SAMPLE_MULT) % _SAMPLE_MOD
+        df["h"] = knuth_hash(df["doc_id"].to_numpy())
         df = df.sort_values(["lang", "h", "doc_id"], kind="stable")
         out = df.groupby("lang", sort=False).head(k)
         return out[["doc_id", "lang"]]
@@ -568,7 +584,8 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id
+           ORDER BY CAST(CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}
+                         % {_SAMPLE_MOD} AS BIGINT), doc_id
          ) AS rn
   FROM documents
 ) WHERE rn <= {STRATA_K}
@@ -787,7 +804,7 @@ def bigram_topk(sf_dir: str, k: int = BIGRAM_K):
                             .astype(str), return_counts=True)
         return pd.DataFrame({"bigram": bg, "n": cnt.astype(np.int64)})
 
-    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    ds = _read_docs(sf_dir, ["text"]).map_batches(
         partial, batch_format="pandas")
     return _topk_by_count(ds, "bigram", k)
 
@@ -1070,7 +1087,7 @@ def source_mix_sample(sf_dir: str, k: int = MIX_TOTAL):
             out = df
         else:
             df = df.copy()
-            df["h"] = (df["doc_id"] * _SAMPLE_MULT) % _SAMPLE_MOD
+            df["h"] = knuth_hash(df["doc_id"].to_numpy())
             df = df.sort_values(["source", "h", "doc_id"], kind="stable")
             df["rn"] = df.groupby("source", sort=False).cumcount() + 1
             df["tgt"] = df["source"].map(targets).fillna(0).astype("int64")
@@ -1098,7 +1115,8 @@ WITH m AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id
+           ORDER BY CAST(CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}
+                         % {_SAMPLE_MOD} AS BIGINT), doc_id
          ) AS rn
   FROM documents
 )

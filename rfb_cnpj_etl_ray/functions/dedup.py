@@ -30,22 +30,15 @@ from rfb_cnpj_etl_ray.sources.parquet import pool_size as _pool
 from rfb_cnpj_etl_ray.sources.parquet import read_table as _read_table
 
 from rfb_cnpj_etl_ray.functions.text import WS_RE
+from rfb_cnpj_etl_ray.numeric import round_half_away
 
 
 def _spill_dir(sf_dir: str) -> "Path":
-    """Scratch spill root keyed by the dataset's ABSOLUTE path (short
-    hash), not just its basename — two datasets that merely share a
-    directory name must not rmtree each other's live round spills.
-    Concurrent calls on the SAME dataset still share the root (the
-    bench/test flows are sequential; document before parallelizing)."""
-    import hashlib
-    import os
-    from pathlib import Path
+    """Round-spill root for the minhash fixed-point loop (abspath-keyed
+    via the shared helper — see rfb_cnpj_etl_ray/scratch.py)."""
+    from rfb_cnpj_etl_ray.scratch import scratch_dir
 
-    key = hashlib.sha1(
-        os.path.abspath(str(sf_dir)).encode()).hexdigest()[:8]
-    return (Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
-            / "minhash_spill" / f"{Path(sf_dir).name}-{key}")
+    return scratch_dir("minhash_spill", sf_dir)
 
 
 def _read_docs(sf_dir: str, columns=None):
@@ -133,7 +126,7 @@ def _jaccard_pairs_matrix(docs: np.ndarray, sets_list: list,
     return pd.DataFrame({
         "doc_a": docs[ia].astype("int64"),
         "doc_b": docs[ib].astype("int64"),
-        "jaccard": np.round(jac[ia, ib], 4),
+        "jaccard": round_half_away(jac[ia, ib], 4),
     })
 
 
@@ -254,6 +247,44 @@ def _seg_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.repeat(starts, lens) + offs
 
 
+def _bucket_pair_indices(df: "pd.DataFrame"):
+    """Shared banded-bucket pair machinery (MinHash-LSH and SimHash):
+    dedup/sort (band, band_key, doc_id) rows, detect bucket runs, and
+    return (sorted df, a_idx, b_idx) — the upper-triangle in-bucket pair
+    index arrays — plus the packed-int64 pair key builder below. One
+    definition so the run-boundary logic and the doc_id-width guard
+    cannot drift between the two operators."""
+    df = df.drop_duplicates(["band", "band_key", "doc_id"])
+    df = df.sort_values(["band", "band_key", "doc_id"], kind="stable")
+    n = len(df)
+    band = df["band"].to_numpy()
+    bh = df["band_key"].to_numpy()
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    # for row i in its bucket: pairs (i, j) for every later j; m_i
+    # partners each
+    bucket_end = np.repeat(starts + lens, lens)
+    m = bucket_end - np.arange(n) - 1
+    a_idx = np.repeat(np.arange(n), m)
+    b_idx = _seg_ranges(np.arange(n, dtype=np.int64) + 1, m)
+    return df, a_idx, b_idx
+
+
+def _pack_pairs(ids: np.ndarray, a_idx: np.ndarray, b_idx: np.ndarray
+                ) -> np.ndarray:
+    """(doc_a, doc_b) packed into ONE int64: half the shuffle bytes and
+    dedup becomes a single np.unique — pair volume is quadratic in
+    duplicate-cluster size, so this is the hot path."""
+    if ids.max() >= (1 << 31):
+        raise ValueError(
+            "pair packing assumes doc_id < 2^31; remap ids or widen "
+            "the pack to two columns for larger key spaces")
+    return (ids[a_idx].astype(np.int64) << 32) | ids[b_idx]
+
+
 def minhash_lsh_candidates(sf_dir: str):
     """Candidate near-duplicate pairs via MinHash-LSH: signature →
     (band, band_key, doc_id) explode → keyed hash exchange on the bucket
@@ -274,34 +305,11 @@ def minhash_lsh_candidates(sf_dir: str):
         empty = pd.DataFrame({"pair": pd.Series([], dtype="int64")})
         if df.empty:
             return empty
-        df = df.drop_duplicates(["band", "band_key", "doc_id"])
-        df = df.sort_values(["band", "band_key", "doc_id"], kind="stable")
-        n = len(df)
-        band = df["band"].to_numpy()
-        bh = df["band_key"].to_numpy()
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, n))
-        # for row i in its bucket: pairs (i, j) for every later j in the
-        # bucket; m_i = bucket_end - i - 1 partners each
-        bucket_end = np.repeat(starts + lens, lens)
-        m = bucket_end - np.arange(n) - 1
-        ids = df["doc_id"].to_numpy()
-        a_idx = np.repeat(np.arange(n), m)
-        b_idx = _seg_ranges(np.arange(n, dtype=np.int64) + 1, m)
+        df, a_idx, b_idx = _bucket_pair_indices(df)
         if not len(a_idx):
             return empty
-        # pack (doc_a, doc_b) into ONE int64: half the shuffle bytes and
-        # dedup becomes a single np.unique — the pair volume is quadratic
-        # in duplicate-cluster size, so this path is the hot one
-        if ids.max() >= (1 << 31):
-            raise ValueError(
-                "minhash pair packing assumes doc_id < 2^31; remap ids "
-                "or widen the pack to two columns for larger key spaces"
-            )
-        packed = (ids[a_idx].astype(np.int64) << 32) | ids[b_idx]
+        ids = df["doc_id"].to_numpy()
+        packed = _pack_pairs(ids, a_idx, b_idx)
         return pd.DataFrame({"pair": np.unique(packed)})
 
     pairs = repartition_by_key(ds, ["band", "band_key"]).map_batches(
@@ -462,6 +470,14 @@ def minhash_dedup_groups(sf_dir: str, rounds: int = 8):
         from rfb_cnpj_etl_ray.sources.parquet import sized_blocks
 
         spill_files = sorted(str(p) for p in path.glob("*.parquet"))
+        if not spill_files:
+            # every doc was wordless: no bucket rows exist, the identity
+            # union below supplies all the (singleton) labels
+            ds = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64())}))
+            converged = True
+            break
         ds = ray.data.read_parquet(
             spill_files, override_num_blocks=sized_blocks(spill_files))
         if check:
@@ -656,8 +672,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = COSINE_THRESHOLD):
             {
                 "vec_a": pd.Series(ids[ia][order], dtype="int64"),
                 "vec_b": pd.Series(ids[ib][order], dtype="int64"),
-                "cosine": pd.Series(np.round(sim[ia, ib][order], 4),
-                                    dtype="float64"),
+                "cosine": pd.Series(
+                    round_half_away(sim[ia, ib][order], 4),
+                    dtype="float64"),
             }
         )
 
@@ -856,6 +873,12 @@ def simhash_near_dup_pairs(sf_dir: str, ham_max: int = SH_HAM_MAX):
     keyed exchange."""
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
+    if ham_max > len(_SH_BANDS) - 1:
+        raise ValueError(
+            f"simhash_near_dup_pairs is pigeonhole-exhaustive only for "
+            f"ham_max <= {len(_SH_BANDS) - 1} with {len(_SH_BANDS)} "
+            f"bands; ham_max={ham_max} would silently drop pairs")
+
     fps = simhash_fingerprints(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -876,31 +899,16 @@ def simhash_near_dup_pairs(sf_dir: str, ham_max: int = SH_HAM_MAX):
                               "hamming": pd.Series([], dtype="int64")})
         if df.empty:
             return empty
-        df = df.drop_duplicates(["band", "band_key", "doc_id"])
-        df = df.sort_values(["band", "band_key", "doc_id"], kind="stable")
-        n = len(df)
-        band = df["band"].to_numpy()
-        bh = df["band_key"].to_numpy()
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, n))
-        bucket_end = np.repeat(starts + lens, lens)
-        m = bucket_end - np.arange(n) - 1
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
-        fp = df["simhash"].to_numpy(dtype=np.int64)
-        a_idx = np.repeat(np.arange(n), m)
-        b_idx = _seg_ranges(np.arange(n, dtype=np.int64) + 1, m)
+        df, a_idx, b_idx = _bucket_pair_indices(df)
         if not len(a_idx):
             return empty
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        fp = df["simhash"].to_numpy(dtype=np.int64)
         ham = _popcount64(np.bitwise_xor(fp[a_idx], fp[b_idx]))
         keep = ham <= ham_max
         if not keep.any():
             return empty
-        if ids.max() >= (1 << 31):
-            raise ValueError("simhash pair packing assumes doc_id < 2^31")
-        packed = (ids[a_idx[keep]] << 32) | ids[b_idx[keep]]
+        packed = _pack_pairs(ids, a_idx[keep], b_idx[keep])
         out = pd.DataFrame({"pair": packed, "hamming": ham[keep]})
         return out.drop_duplicates("pair")
 

@@ -283,7 +283,7 @@ def upsert_static_nations(sf_dir: str):
     add = pa.table(
         {
             "n_nationkey": pa.array([r[0] for r in missing], pa.int32()),
-            "n_name": pa.array([r[1] for r in missing]),
+            "n_name": pa.array([r[1] for r in missing], pa.string()),
             "n_regionkey": pa.array([r[2] for r in missing], pa.int32()),
         }
     )
@@ -343,9 +343,13 @@ def pricing_summary(sf_dir: str):
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        # half_towards_infinity: integer-ratio averages land on exact
+        # dyadic halves (25/8 = 3.125) where half-even diverges from
+        # DuckDB ROUND (ADVICE r2 rounding pin)
         avg = pc.round(
             pc.divide(batch.column("sum_qty"),
-                      pc.cast(batch.column("count_order"), pa.float64())), 2
+                      pc.cast(batch.column("count_order"), pa.float64())), 2,
+            round_mode="half_towards_infinity",
         )
         return pa.table(
             {
@@ -459,7 +463,8 @@ def revenue_by_nation(sf_dir: str):
     return out.map_batches(
         lambda t: pa.table(
             {"n_name": t.column("n_name"),
-             "revenue": pc.round(t.column("revenue"), 2)}
+             "revenue": pc.round(t.column("revenue"), 2,
+                                 round_mode="half_towards_infinity")}
         ),
         batch_format="pyarrow",
     )
@@ -655,14 +660,10 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
 
     from ray.data.aggregate import Sum
 
-    import hashlib
+    from rfb_cnpj_etl_ray.scratch import scratch_dir
 
-    key = hashlib.sha1(
-        os.path.abspath(str(sf_dir)).encode()).hexdigest()[:8]
-    scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
-               / "rfb_cnpj_etl_ray" / "incr_view"
-               / f"{Path(sf_dir).name}-{key}")  # abspath-keyed: same-name
-    # datasets must not clobber each other's checkpoints
+    # abspath-keyed: same-name datasets must not clobber checkpoints
+    scratch = scratch_dir("incr_view", sf_dir)
     if not resume:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -790,9 +791,10 @@ def running_user_totals(sf_dir: str):
 
     def running_block(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "event_id"], kind="stable")
-        df["running_value"] = (
-            df.groupby("user_id", sort=False)["value"].cumsum().round(2)
-        )
+        from rfb_cnpj_etl_ray.numeric import round_half_away
+
+        df["running_value"] = round_half_away(
+            df.groupby("user_id", sort=False)["value"].cumsum(), 2)
         return df[["event_id", "user_id", "running_value"]]
 
     return repartition_by_key(ds, ["user_id"]).map_batches(
@@ -829,7 +831,11 @@ def asof_join_last_purchase(sf_dir: str):
 
     def asof_block(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["event_type"] == "click"].sort_values("ts", kind="stable")
-        right = df[df["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        # tie rule: at an identical purchase ts the HIGHEST event_id
+        # wins (merge_asof keeps the last row <= ts; block order after
+        # the shuffle is arbitrary, so pin it deterministically)
+        right = df[df["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"], kind="stable")
         if left.empty:
             return pd.DataFrame(
                 {"event_id": pd.Series([], dtype="int64"),
@@ -1240,8 +1246,9 @@ def _build_user_state_lake(sf_dir: str, tag: str, after_epoch=None):
         pa.field("last_event_type", pa.string()),
         pa.field("last_value", pa.float64()),
     ])
-    scratch = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
-               / "rfb_cnpj_etl_ray" / tag / Path(sf_dir).name)
+    from rfb_cnpj_etl_ray.scratch import scratch_dir
+
+    scratch = scratch_dir(tag, sf_dir)  # abspath-keyed (same-name safety)
     shutil.rmtree(scratch, ignore_errors=True)
 
     ds = _read(sf_dir, "events",

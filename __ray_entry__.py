@@ -91,6 +91,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge vs a commit log → rows-only check; the real correctness
         # gate is the oracle replayer in tests/test_ingest.py)
         "cdc_ingest_final_state": run_cdc_pipeline,
+        # --- registry ORDER is part of the driver contract: the r3
+        # correctness run covered exactly the first 50 entries, so the
+        # never-driver-verified operators lead (VERDICT r3 #1) and the
+        # long-stable cnpj/relational/text block trails ---
+        "simhash_near_dup_pairs": D.simhash_near_dup_pairs,
+        "dedup_corpus": D.dedup_corpus,
+        "minhash_dedup_groups": D.minhash_dedup_groups,
+        "knn_graph": S.knn_graph,
+        "kmeans_clusters": S.kmeans_clusters,
+        "cluster_balanced_sample": S.cluster_balanced_sample,
+        "source_mix_sample": T.source_mix_sample,
+        "props_extract_stats": R.props_extract_stats,
+        "change_feed_users": R.change_feed_users,
+        "replicate_user_state": R.replicate_user_state,
+        "multimodal_features": M.multimodal_features,
+        "multimodal_wav_decode": M.multimodal_wav_decode,
+        "ann_ivf_topk": S.ann_ivf_topk,
+        # r2-green but unchecked in r3 (registry truncation)
+        "exact_dedup": D.exact_dedup,
+        "jaccard_block_pairs": D.jaccard_block_pairs,
+        "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
+        "minhash_lsh_candidates": D.minhash_lsh_candidates,
+        "simhash_fingerprints": D.simhash_fingerprints,
+        "embedding_near_dup": D.embedding_near_dup,
+        "ann_topk": S.ann_topk,
         # the reference's CNPJ registry instantiated end-to-end: zip →
         # headerless latin-1 CSV → route (multi-target) → transform
         # chain → hash-partitioned lake load (schema.py:11-193,
@@ -146,26 +171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": T.bigram_topk,
         "decontaminate_val": T.decontaminate_val,
         "repetition_scores": T.repetition_scores,
-        "source_mix_sample": T.source_mix_sample,
-        "props_extract_stats": R.props_extract_stats,
-        "change_feed_users": R.change_feed_users,
-        "replicate_user_state": R.replicate_user_state,
-        "exact_dedup": D.exact_dedup,
-        "jaccard_block_pairs": D.jaccard_block_pairs,
-        "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
-        "minhash_lsh_candidates": D.minhash_lsh_candidates,
-        "minhash_dedup_groups": D.minhash_dedup_groups,
-        "dedup_corpus": D.dedup_corpus,
-        "simhash_fingerprints": D.simhash_fingerprints,
-        "simhash_near_dup_pairs": D.simhash_near_dup_pairs,
-        "embedding_near_dup": D.embedding_near_dup,
-        "ann_topk": S.ann_topk,
-        "ann_ivf_topk": S.ann_ivf_topk,
-        "knn_graph": S.knn_graph,
-        "kmeans_clusters": S.kmeans_clusters,
-        "cluster_balanced_sample": S.cluster_balanced_sample,
-        "multimodal_features": M.multimodal_features,
-        "multimodal_wav_decode": M.multimodal_wav_decode,
     }
 
 
@@ -241,13 +246,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_groups": D.MINHASH_DEDUP_GROUPS_SQL,
         "dedup_corpus": D.DEDUP_CORPUS_SQL,
         "ann_topk": S.ANN_TOPK_SQL,
+        "ann_ivf_topk": S.ANN_IVF_TOPK_SQL,
         "knn_graph": S.KNN_GRAPH_SQL,
         "kmeans_clusters": S.KMEANS_CLUSTERS_SQL,
         "cluster_balanced_sample": S.CLUSTER_BALANCED_SAMPLE_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
-        # omitted on purpose (rows-only): cdc_ingest_final_state
+        # omitted on purpose (rows-only): cdc_ingest_final_state only
         # (stateful CDC — hard-checked vs the replayer oracle in tests)
-        # and ann_ivf_topk (approximate by design — probed-bucket oracle
-        # in tests)
     }

@@ -160,6 +160,23 @@ def main(argv: list[str] | None = None) -> int:
                          "sources, which cannot be listed)")
     sp.add_argument("--num-partitions", type=int, default=32)
     sp.add_argument("--overwrite", action="store_true")
+    # 1:1 flag parity with the reference's `complete` (main.py:71-83)
+    sp.add_argument("--skip-validation", action="store_true",
+                    help="skip the post-load invariant gate (reference "
+                         "--skip-validation)")
+    sp.add_argument("--skip-index", action="store_true",
+                    help="accepted for reference-CLI parity: the engine's "
+                         "index analog (doc_id-sorted snapshots + parquet "
+                         "zone-map stats) is built inline by the merge at "
+                         "no separate cost, so there is no step to skip")
+    sp.add_argument("--low-memory", action="store_true",
+                    help="quarter the merge batch size (reference "
+                         "--low-memory BATCH_RATIO shrink)")
+    sp.add_argument("--workers", type=int, default=None,
+                    help="cap concurrent zip downloads (reference --workers)")
+    sp.add_argument("--clean", action="store_true",
+                    help="remove previously downloaded files first "
+                         "(reference --clean)")
 
     sp = sub.add_parser("synth", help="generate deterministic base+log data")
     sp.add_argument("out_dir")
@@ -325,6 +342,10 @@ def main(argv: list[str] | None = None) -> int:
             # resumable engine run: crash anywhere and re-run — fetched
             # zips short-circuit, committed tables are idempotent
             work = Path(args.work_dir or (Path(args.lake) / "_downloads"))
+            if args.clean and work.exists():
+                import shutil as _shutil
+
+                _shutil.rmtree(work)
             if args.remote.startswith(("http://", "https://")):
                 if not args.files:
                     raise SystemExit("--files is required for http sources")
@@ -335,20 +356,26 @@ def main(argv: list[str] | None = None) -> int:
                 names = sorted(
                     p.name for p in Path(args.remote).glob("*.zip")
                 ) if not args.files else                     [f.strip() for f in args.files.split(",")]
-            fetched = fetch_segments(transport, names, work)
+            fetched = fetch_segments(transport, names, work,
+                                     max_parallel=args.workers)
+            cfg_kw = {"num_partitions": args.num_partitions}
+            if args.low_memory:
+                cfg_kw["batch_size"] = EngineConfig().batch_size // 4
             out = load_cnpj_files(
                 [str(work / n) for n in names], args.lake,
-                cfg=EngineConfig(num_partitions=args.num_partitions),
+                cfg=EngineConfig(**cfg_kw),
                 overwrite=args.overwrite,
             )
-            checks = {t: validate_lake(args.lake, t, strict=False)["ok"]
-                      for t in out}
-            print(json.dumps({
+            result = {
                 "fetched": {r["name"]: r["bytes"] for r in fetched},
                 "tables": {t: rec["metrics"]["rows_total"]
                            for t, rec in out.items()},
-                "validated": checks,
-            }))
+            }
+            if not args.skip_validation:
+                result["validated"] = {
+                    t: validate_lake(args.lake, t, strict=False)["ok"]
+                    for t in out}
+            print(json.dumps(result))
         elif args.cmd == "load-cnpj":
             from rfb_cnpj_etl_ray.cnpj import load_cnpj_files
             from rfb_cnpj_etl_ray.config import EngineConfig

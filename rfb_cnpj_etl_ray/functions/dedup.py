@@ -59,10 +59,19 @@ def exact_dedup(sf_dir: str):
     per-batch partial min then one groupby over ~|keys| rows — same
     combiner-then-shuffle layout as the CDC merge."""
 
+    # first three \S+ tokens via ONE anchored extract (stops scanning
+    # after the third token — no full-text findall, no per-row join);
+    # the fillna/where chain rebuilds " ".join(ws[:3]) exactly,
+    # including the 0/1/2-token edge cases
+    _first3 = r"^\s*(\S+)(?:\s+(\S+))?(?:\s+(\S+))?"
+
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.findall(WS_RE)
+        g = batch["text"].str.extract(_first3)
+        key = g[0].fillna("")
+        for c in (1, 2):
+            key = key.where(g[c].isna(), key + " " + g[c].fillna(""))
         batch = batch[["doc_id"]].copy()
-        batch["dedup_key"] = words.map(lambda ws: " ".join(ws[:3]))
+        batch["dedup_key"] = key
         return batch
 
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key

@@ -105,18 +105,31 @@ NUM_CENTROIDS = 8
 NUM_PROBES = 2
 
 
+IVF_ROUNDS = 5
+IVF_SAMPLE = 2048
+
+
 def _fit_centroids(
     sf_dir: str,
     num_centroids: int = NUM_CENTROIDS,
-    sample_size: int = 2048,
-    seed: int = 7,
-) -> np.ndarray:
+    sample_size: int = IVF_SAMPLE,
+    rounds: int = IVF_ROUNDS,
+) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic spherical k-means on a DISTRIBUTED hash-sample: each
     batch keeps only rows whose Knuth-hashed vec_id falls under a
     threshold sized from the parquet metadata row count, so the driver
     collects ~2×sample_size rows no matter how big the corpus is (and,
     unlike ``random_sample``, the selection is independent of block
-    layout — two calls always agree)."""
+    layout — two calls always agree).
+
+    Every step is pinned to the SQL-expressible protocol shared with
+    ``kmeans_clusters`` so ANN_IVF_TOPK_SQL reproduces the fit exactly:
+    init = the first ``num_centroids`` sampled vectors in (hash, vec_id)
+    order (cid = that rank); assignment = 4-decimal-rounded cosine with
+    min-cid tie-break (``_assign_batch``); update = per-dimension mean of
+    the RAW embeddings rounded to 6 decimals (cosine is scale-invariant,
+    so skipping normalization changes nothing and keeps the SQL an AVG);
+    empty clusters drop out. Returns ``(cids, centroids)``."""
     ds = _read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -140,56 +153,62 @@ def _fit_centroids(
             f"IVF centroid fit needs >= {num_centroids} sampled vectors, "
             f"got {0 if sample is None else sample.num_rows} — corpus too "
             f"small for num_centroids={num_centroids}")
-    # order by the same hash → the retained subset is a deterministic
-    # function of vec_ids alone (block arrival order cancels out)
+    # order by (hash, vec_id) → the retained subset AND the centroid
+    # init are a deterministic function of vec_ids alone (block arrival
+    # order cancels out; the vec_id tie-break guards hash collisions)
     ids = sample.column("vec_id").to_numpy().astype(np.uint64)
-    order = np.argsort((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF),
-                       kind="stable")[:sample_size]
+    h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    order = np.lexsort((ids, h))[:sample_size]
     m = np.stack(
         sample.column("embedding").to_numpy(zero_copy_only=False)[order]
-    )
-    m = m.astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cent = m[rng.choice(len(m), num_centroids, replace=False)].copy()
-    for _ in range(5):  # Lloyd iterations, vectorized
-        assign = (m @ cent.T).argmax(axis=1)
-        for c in range(num_centroids):
-            sel = m[assign == c]
-            if len(sel):
-                v = sel.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
-    return cent
+    ).astype(np.float64)
+    cids = np.arange(num_centroids, dtype=np.int64)
+    cents = m[:num_centroids].copy()
+    for _ in range(rounds):  # Lloyd iterations, vectorized + pinned
+        assign, _ = _assign_batch(m, cids, cents)
+        uniq = np.unique(assign)  # empty clusters drop out (both sides)
+        cents = np.stack(
+            [np.round(m[assign == c].mean(axis=0), 6) for c in uniq])
+        cids = uniq
+    return cids, cents
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed ANN: centroids from a driver-side k-means on a sample
-    (deterministic seed), every batch scores only when its bucket is among
-    the query's NUM_PROBES closest centroids. Approximate by design
-    (recall depends on how clustered the corpus is) → rows-only oracle.
-    At 100 TB buckets become the partition key so probes prune whole
-    partitions at the read."""
-    cent = _fit_centroids(sf_dir)
+    """IVF-bucketed ANN: centroids from a driver-side k-means on a
+    distributed hash-sample (deterministic, SQL-pinned — see
+    ``_fit_centroids``), every batch scores only rows whose bucket is
+    among the query's NUM_PROBES closest centroids. Approximate by
+    design (recall depends on how clustered the corpus is), but the
+    probed-bucket RESULT is exactly reproducible: ANN_IVF_TOPK_SQL
+    unrolls the identical fit + probe + scan in DuckDB. At 100 TB
+    buckets become the partition key so probes prune whole partitions
+    at the read."""
+    cids, cents = _fit_centroids(sf_dir)
     q = _query_vector(sf_dir)
-    probe_buckets = set(np.argsort(cent @ q)[::-1][:NUM_PROBES].tolist())
-    cent_ref = ray.put(cent)
+    # probe selection pinned like every ranking here: 4-decimal-rounded
+    # cosine, min-cid tie-break
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    milli = np.rint(np.round(cn @ q, 4) * 10_000).astype(np.int64)
+    probe_buckets = set(
+        cids[np.lexsort((cids, -milli))[:NUM_PROBES]].tolist())
+    cent_ref = ray.put((cids, cents))
     q_ref = ray.put(q)
 
     class ProbeScore:
         def __init__(self, cent_ref, q_ref, probes):
-            self.cent = ray.get(cent_ref)
+            self.cids, self.cents = ray.get(cent_ref)
             self.q = ray.get(q_ref)
-            self.probes = probes
+            self.probes = list(probes)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            assign = (m @ self.cent.T).argmax(axis=1)
-            mask = np.isin(assign, list(self.probes))
+            assign, _ = _assign_batch(m, self.cids, self.cents)
+            mask = np.isin(assign, self.probes)
             if not mask.any():
                 return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                      "cosine": pd.Series([], dtype="float64")})
-            sims = m[mask] @ self.q
+            mn = m[mask] / np.linalg.norm(m[mask], axis=1, keepdims=True)
+            sims = mn @ self.q
             out = pd.DataFrame(
                 {"vec_id": batch["vec_id"].to_numpy()[mask],
                  "cosine": np.round(sims, 4)}
@@ -207,6 +226,85 @@ def ann_ivf_topk(sf_dir: str):
         batch_format="pandas", concurrency=_pool(),
     )
     return local.sort(["cosine", "vec_id"], descending=[True, False]).limit(TOP_K)
+
+
+def _ivf_assign_sql(src: str, cent: str) -> str:
+    """Nearest-centroid assignment CTE body, pinned to `_assign_batch`:
+    4-decimal-rounded DOUBLE cosine, min-cid tie-break."""
+    return f"""
+    SELECT vec_id, cid FROM (
+       SELECT s.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY ROUND(CAST(list_cosine_similarity(s.emb, c.c)
+                               AS DOUBLE), 4) DESC, c.cid) AS rn
+       FROM {src} s CROSS JOIN {cent} c) WHERE rn = 1"""
+
+
+def _ivf_update_sql(assign: str, src: str) -> str:
+    """Centroid update CTE body: per-dimension mean of the raw sample
+    embeddings rounded to 6 decimals; empty clusters drop out."""
+    return f"""
+    SELECT cid, list(val ORDER BY ord) AS c FROM (
+      SELECT a.cid, t.i AS ord, ROUND(AVG(s.emb[t.i]), 6) AS val
+      FROM {assign} a JOIN {src} s USING (vec_id),
+           unnest(range(1, len(s.emb) + 1)) AS t(i)
+      GROUP BY 1, 2) GROUP BY cid"""
+
+
+def _ivf_chain_sql(rounds: int) -> tuple[str, str]:
+    """(unrolled Lloyd-round CTE chain, final centroid CTE name)."""
+    parts, prev = [], "f0"
+    for r in range(rounds):
+        parts.append(f"ia{r} AS ({_ivf_assign_sql('s', prev)})")
+        prev = f"f{r + 1}"
+        parts.append(f"{prev} AS ({_ivf_update_sql(f'ia{r}', 's')})")
+    return ",\n".join(parts), prev
+
+
+_IVF_CHAIN, _IVF_FINAL = _ivf_chain_sql(IVF_ROUNDS)
+
+# the exact twin of ann_ivf_topk: same hash sample (threshold floored in
+# DOUBLE from the same expression), same hash-rank init, IVF_ROUNDS
+# unrolled Lloyd rounds under the rounded-cosine/min-cid protocol, same
+# probe pick, same probed-bucket scan — bit-for-bit reproducible
+ANN_IVF_TOPK_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         CAST(CAST(vec_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+           AS h
+  FROM embeddings
+), thr AS (
+  SELECT CAST(FLOOR(LEAST(1.0, (2.0 * {IVF_SAMPLE}) /
+              (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings))
+              * 4294967296.0) AS BIGINT) AS t
+), s AS (
+  SELECT vec_id, emb, rk - 1 AS rk FROM (
+    SELECT vec_id, emb,
+           ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rk
+    FROM allv WHERE h < (SELECT t FROM thr))
+  WHERE rk <= {IVF_SAMPLE}
+), f0 AS (
+  SELECT rk AS cid, emb AS c FROM s WHERE rk < {NUM_CENTROIDS}
+),
+{_IVF_CHAIN},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ORDER BY vec_id LIMIT 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY
+             ROUND(CAST(list_cosine_similarity(c.c, (SELECT v FROM q))
+                        AS DOUBLE), 4) DESC, c.cid) AS rn
+    FROM {_IVF_FINAL} c) WHERE rn <= {NUM_PROBES}
+), aall AS ({_ivf_assign_sql('allv', _IVF_FINAL)})
+SELECT e.vec_id,
+       ROUND(CAST(list_cosine_similarity(e.emb, (SELECT v FROM q))
+                  AS DOUBLE), 4) AS cosine
+FROM allv e JOIN aall a USING (vec_id)
+WHERE a.cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -229,23 +327,35 @@ def knn_graph(sf_dir: str, k: int = KNN_K):
     flip a rank; the per-row top-k uses a packed int64 sort key
     (similarity milli-units × 2^32 + neighbor id) — one ``np.partition``
     + one small sort per batch, no Python loops."""
-    # broadcast-side build: column-pruned read of (vec_id, embedding)
-    # only — the brute-force contract is that the REFERENCE side fits
-    # the object store (same contract as every broadcast join here);
-    # when it doesn't, ann_ivf_topk's router replaces this broadcast
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    m = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in t.column("embedding").to_numpy(zero_copy_only=False)])
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    corpus_ref = ray.put((ids, m))
+    # broadcast-side build STREAMS: each batch becomes one object-store
+    # shard (``ray.put`` per block), so driver RSS stays O(batch) while
+    # the full matrix only ever materializes inside the actors (which
+    # need it anyway). The brute-force contract is that the REFERENCE
+    # side fits the object store (same contract as every broadcast join
+    # here); when it doesn't, ann_ivf_topk's router replaces this
+    # broadcast.
+    shard_refs = []
+    corpus = _read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    for b in corpus.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids_b = b.column("vec_id").to_numpy()
+        if ids_b.size and ids_b.max() >= (1 << 31):
+            # same loud failure as dedup._pack_pairs: the packed int64
+            # sort key holds the neighbor id in its low 32 bits, so an
+            # oversized id would silently corrupt both words
+            raise ValueError(
+                "knn_graph packs neighbor ids into 32 bits; remap "
+                "vec_ids or widen the pack for ids >= 2^31")
+        m_b = np.stack([np.asarray(v, dtype=np.float64) for v in
+                        b.column("embedding").to_numpy(zero_copy_only=False)])
+        m_b /= np.linalg.norm(m_b, axis=1, keepdims=True)
+        shard_refs.append(ray.put((ids_b.astype(np.int64), m_b)))
 
     class Neighbors:
-        def __init__(self, ref, k):
-            self.ids, self.m = ray.get(ref)  # once per actor
+        def __init__(self, refs, k):
+            parts = [ray.get(r) for r in refs]  # once per actor
+            self.ids = np.concatenate([p[0] for p in parts])
+            self.m = np.vstack([p[1] for p in parts])
             self.k = k
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -279,7 +389,7 @@ def knn_graph(sf_dir: str, k: int = KNN_K):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ds.map_batches(Neighbors,
-                          fn_constructor_kwargs={"ref": corpus_ref, "k": k},
+                          fn_constructor_kwargs={"refs": shard_refs, "k": k},
                           batch_format="pandas", concurrency=_pool())
 
 
@@ -435,11 +545,16 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
 
 
 def _kmeans_assign_sql(cent_cte: str) -> str:
+    # both sides cast to DOUBLE[] (the KNN_GRAPH/ANN_TOPK rule): DuckDB's
+    # list_cosine_similarity(FLOAT[], FLOAT[]) evaluates in float32,
+    # which can flip a 4-decimal ROUND boundary vs the engine's float64
+    # matmul and re-key a cluster
     return f"""
     SELECT vec_id, cid FROM (
        SELECT e.vec_id, c.cid,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, c.c)
+            ORDER BY ROUND(CAST(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
                                AS DOUBLE), 4) DESC, c.cid) AS rn
        FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1"""
 
@@ -455,18 +570,20 @@ def _kmeans_update_sql(assign_cte: str) -> str:
 
 
 KMEANS_CLUSTERS_SQL = f"""
-WITH c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
-            WHERE vec_id < {KMEANS_K}),
+WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings WHERE vec_id < {KMEANS_K}),
 a0 AS ({_kmeans_assign_sql('c0')}),
 c1 AS ({_kmeans_update_sql('a0')}),
 a1 AS ({_kmeans_assign_sql('c1')}),
 c2 AS ({_kmeans_update_sql('a1')})
 SELECT vec_id, cid AS cluster, cosine FROM (
    SELECT e.vec_id, c.cid,
-          ROUND(CAST(list_cosine_similarity(e.embedding, c.c)
+          ROUND(CAST(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
                      AS DOUBLE), 4) AS cosine,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, c.c)
+            ORDER BY ROUND(CAST(list_cosine_similarity(
+                  CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
                                AS DOUBLE), 4) DESC, c.cid) AS rn
    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
 """
@@ -502,7 +619,14 @@ def cluster_balanced_sample(sf_dir: str, n_per_cluster: int = CLUSTER_SAMPLE_N):
                                 pa.int64()),
         })
 
-    assigned = kmeans_clusters(sf_dir).select_columns(["vec_id", "cluster"])
+    # de-skew pre-prune (the stratified_sample pattern): local rank ≤
+    # global rank, so a block-local pick keeps a superset of the final
+    # per-cluster selection and the cluster-keyed shuffle carries
+    # ≤ n_per_cluster×blocks rows — no cluster ever concentrates the
+    # corpus into one block
+    assigned = (kmeans_clusters(sf_dir)
+                .select_columns(["vec_id", "cluster"])
+                .map_batches(pick, batch_format="pandas"))
     return repartition_by_key(assigned, ["cluster"]).map_batches(
         pick, batch_format="pandas", batch_size=None)
 

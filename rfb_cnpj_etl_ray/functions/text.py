@@ -574,7 +574,13 @@ def stratified_sample(sf_dir: str, k: int = STRATA_K):
         out = df.groupby("lang", sort=False).head(k)
         return out[["doc_id", "lang"]]
 
-    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+    # de-skew: the SAME rank-pick runs once per input block BEFORE the
+    # exchange — a row in the global per-stratum top-k is in its block's
+    # local top-k (local rank ≤ global rank), so the pre-prune is
+    # lossless and the stratum-keyed shuffle carries ≤ k×blocks rows
+    # instead of concentrating the whole corpus into #strata blocks
+    ds = _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        pick, batch_format="pandas")
     return repartition_by_key(ds, ["lang"]).map_batches(
         pick, batch_format="pandas", batch_size=None)
 
@@ -905,14 +911,17 @@ def decontaminate_val(sf_dir: str):
         fold, batch_format="pandas", batch_size=None)
 
 
+# gram concat generated from DECON_N so the shingle width can never
+# desync between the engine and this oracle
+_GRAM_CONCAT = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DECON_N))
+
 DECONTAMINATE_VAL_SQL = f"""
 WITH words AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
   FROM documents WHERE doc_id % 10 <= 8
 ), grams AS (
   SELECT DISTINCT doc_id,
-         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-         ws[i + 3] || ' ' || ws[i + 4] AS gram
+         {_GRAM_CONCAT} AS gram
   FROM words, unnest(range(1, len(ws) - {DECON_N - 2})) AS t(i)
 )
 SELECT v.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
@@ -1097,7 +1106,11 @@ def source_mix_sample(sf_dir: str, k: int = MIX_TOTAL):
             "source": pa.array(out["source"] if len(out) else [], pa.string()),
         })
 
-    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    # de-skew pre-prune (see stratified_sample): local rank ≤ global
+    # rank, so block-local pick-per-source keeps a superset of the final
+    # selection and the source-keyed shuffle moves ≤ Σtargets×blocks rows
+    ds = _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        pick, batch_format="pandas")
     return repartition_by_key(ds, ["source"]).map_batches(
         pick, batch_format="pandas", batch_size=None)
 

@@ -965,6 +965,7 @@ def merge_into(
     cfg: EngineConfig | None = None,
     delete_missing: bool = False,
     scratch_dir: str | Path | None = None,
+    validate_unique: bool = True,
 ) -> dict:
     """Delta-style MERGE INTO: apply an arbitrary payload dataset to the
     lake as ONE upsert batch at the next LSN — op=U for every source row
@@ -1008,6 +1009,41 @@ def merge_into(
         source = ray.data.from_arrow(source)
     payload_schema = schema_from_jsonable(last["schema"])
     payload_names = [f.name for f in payload_schema]
+
+    if validate_unique:
+        # every source row gets the SAME lsn0, so duplicate doc_ids would
+        # become same-key/same-LSN rows with conflicting payloads — the
+        # LWW tie-keep is only idempotent for identical copies and the
+        # survivor would depend on block order. Reject loudly (disable
+        # for pre-deduplicated sources to skip the extra passes).
+        # Shape: per-batch unique partial → one keyed exchange on doc_id
+        # → per-block distinct counts → tiny sum; never O(source) on the
+        # driver.
+        import pyarrow.compute as _pc
+
+        from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+        keys = source.select_columns(["doc_id"])
+        n_total = keys.count()
+
+        def _uniq(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": _pc.unique(t.column("doc_id"))})
+
+        def _nuniq(t: pa.Table) -> pa.Table:
+            n = _pc.count_distinct(t.column("doc_id")).as_py()
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        part = keys.map_batches(_uniq, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        n_distinct = repartition_by_key(part, ["doc_id"]).map_batches(
+            _nuniq, batch_format="pyarrow", batch_size=None).sum("n") or 0
+        if n_distinct != n_total:
+            raise ValueError(
+                f"merge_into source has {n_total - n_distinct} duplicate "
+                f"doc_id rows ({n_total} rows, {n_distinct} distinct): "
+                "the merge would be nondeterministic under the same-LSN "
+                "tie rule — dedup the source first (or pass "
+                "validate_unique=False for a known-unique source)")
 
     scratch = Path(scratch_dir) if scratch_dir is not None else Path(
         tempfile.mkdtemp(prefix=f"merge_into_{table}_"))

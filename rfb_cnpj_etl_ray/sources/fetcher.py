@@ -192,11 +192,13 @@ def fetch_segments(
     chunk_size: int = DEFAULT_CHUNK,
     max_retries: int = 3,
     expected_bytes: dict[str, int] | None = None,
+    max_parallel: int | None = None,
 ) -> list[dict]:
     """Concurrent fetch of many segments: one Ray task per segment (the
     streaming executor elastically schedules up to the CPU budget; a
     retried task resumes from its .part offset — no double work, no
-    torn files)."""
+    torn files). ``max_parallel`` caps simultaneous fetch tasks (the
+    reference's ``--workers`` download knob, cnpj_downloader.py)."""
     items = [{"name": n} for n in sorted(names)]
     if not items:
         return []
@@ -215,7 +217,10 @@ def fetch_segments(
         return pa.Table.from_pylist(rows)
 
     ds = ray.data.from_items(items, override_num_blocks=len(items))
-    return ds.map_batches(fetch, batch_size=1, batch_format="pyarrow").take_all()
+    return ds.map_batches(
+        fetch, batch_size=1, batch_format="pyarrow",
+        **({"concurrency": max_parallel} if max_parallel else {}),
+    ).take_all()
 
 
 def fetch_manifest_segments(

@@ -176,3 +176,18 @@ def test_cli_complete_fetch_load_validate(ray_session, tmp_path):
     assert out["tables"]["empresa"] > 0
     assert out["tables"]["estabelecimento"] > 0
     assert all(out["validated"].values())
+
+    # reference flag parity (main.py:71-83): --clean re-downloads,
+    # --workers caps fetch concurrency, --low-memory shrinks batches,
+    # --skip-validation drops the gate, --skip-index is accepted
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "complete", str(zips_dir), str(tmp_path / "lake2"),
+            "--clean", "--workers", "2", "--low-memory",
+            "--skip-validation", "--skip-index",
+        ])
+    assert rc in (0, None)
+    out2 = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out2["tables"] == out["tables"]
+    assert "validated" not in out2

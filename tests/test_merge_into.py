@@ -178,3 +178,20 @@ def test_sigkill_mid_merge_then_remerge(ray_session, tmp_path):
                delete_missing=True)
     assert_states_equal(source.sort_by([("doc_id", "ascending")]),
                         read_lake_table(lake))
+
+
+def test_merge_into_rejects_duplicate_source_keys(ray_session, tmp_path):
+    """Duplicate doc_ids in the source all land at the same merge LSN, so
+    the surviving payload would depend on block order — the engine must
+    reject them loudly (ADVICE r3) unless validation is waived."""
+    base = make_base(50, seed=93, max_len=16)
+    lake = _lake(tmp_path, base)
+    dup = pa.concat_tables([base, base.slice(0, 5)])
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(lake, dup, cfg=CFG)
+    # the failed merge must not have committed an epoch
+    assert CommitLog(lake / "sequences").latest()["epoch"] == 0
+    # identical rows ARE idempotent under LWW — a caller that knows the
+    # dups are exact copies can waive the gate and still converge
+    merge_into(lake, dup, cfg=CFG, validate_unique=False)
+    assert_states_equal(read_lake_table(lake), base)

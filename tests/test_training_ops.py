@@ -84,16 +84,20 @@ def test_embedding_near_dup_structure(ray_session):
 def test_ann_ivf_matches_probed_bucket_oracle(ray_session):
     """IVF result must equal a driver-side brute-force search restricted
     to the same probed buckets (self-consistency — absolute recall is a
-    property of how clustered the data is, not of the operator)."""
+    property of how clustered the data is, not of the operator). The
+    exact cross-engine check is ANN_IVF_TOPK_SQL in test_entry.py."""
     approx = to_pandas(S.ann_ivf_topk(SF_DIR)).sort_values("vec_id")
-    cent = S._fit_centroids(SF_DIR)
+    cids, cents = S._fit_centroids(SF_DIR)
     q = S._query_vector(SF_DIR)
-    probes = set(np.argsort(cent @ q)[::-1][: S.NUM_PROBES].tolist())
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    milli = np.rint(np.round(cn @ q, 4) * 10_000).astype(np.int64)
+    probes = set(cids[np.lexsort((cids, -milli))[: S.NUM_PROBES]].tolist())
     emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    mask = np.isin((m @ cent.T).argmax(axis=1), list(probes))
-    sims = np.round(m[mask] @ q, 4)
+    assign, _ = S._assign_batch(m, cids, cents)
+    mask = np.isin(assign, list(probes))
+    mn = m[mask] / np.linalg.norm(m[mask], axis=1, keepdims=True)
+    sims = np.round(mn @ q, 4)
     expect = (
         pd.DataFrame({"vec_id": emb["vec_id"].to_numpy()[mask], "cosine": sims})
         .sort_values(["cosine", "vec_id"], ascending=[False, True])

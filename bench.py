@@ -438,6 +438,141 @@ def endurance() -> None:
     ray.shutdown()
 
 
+def north() -> None:
+    """The north rule's literal replay: GRAFT_NORTH_EVENTS (default 10^10)
+    change events applied to a final-state-correct lake table, in
+    GRAFT_NORTH_EPOCHS (default 10) epochs of 10^9 events each, with
+    ``write_mode="delta"`` + size-tiered ``compact_deltas`` folded inline
+    per epoch (the steady-state shape BASELINE.md documents).
+
+    Storage discipline: one epoch's log (~44 GB at 10^9 events,
+    max_len=32) is synthesized fresh — its own RNG substreams and a
+    contiguous, globally-increasing lsn range — ingested, then DELETED
+    before the next epoch is generated, so tmpfs holds at most one
+    epoch's log plus the lake at any time. Prints per-epoch synth /
+    ingest / compact seconds and the overall sustained events/sec
+    (ingest+compact only — synth is data generation, not pipeline work;
+    the all-in wall time is reported separately)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rfb_cnpj_etl_ray import EngineConfig, PAYLOAD_SCHEMA, TableSpec
+    from rfb_cnpj_etl_ray.pipelines import ingest
+    from rfb_cnpj_etl_ray.pipelines.ingest import init_lake_distributed
+    from rfb_cnpj_etl_ray.pipelines.maintenance import compact_deltas
+    from rfb_cnpj_etl_ray.synth import make_base, make_changelog
+
+    n_events = int(os.environ.get("GRAFT_NORTH_EVENTS", "10000000000"))
+    n_epochs = int(os.environ.get("GRAFT_NORTH_EPOCHS", "10"))
+    n_docs = int(os.environ.get("GRAFT_NORTH_DOCS", "20000000"))
+    segs_per_epoch = int(os.environ.get("GRAFT_NORTH_SEGMENTS", "160"))
+    max_len = 32
+    per_epoch = n_events // n_epochs
+    per_seg = per_epoch // segs_per_epoch
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
+    root = tmp / f"north_{n_docs}_{n_events}"
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True, exist_ok=True)
+
+    t_all0 = time.perf_counter()
+    base_path = root / "base.parquet"
+    t_b0 = time.perf_counter()
+    pq.write_table(make_base(n_docs, seed=42, max_len=max_len), base_path,
+                   compression="zstd")
+    base_sec = round(time.perf_counter() - t_b0, 1)
+
+    lake = root / "lake"
+    cfg = EngineConfig(
+        num_partitions=int(os.environ.get("GRAFT_NORTH_PARTITIONS", "128")),
+        batch_size=int(os.environ.get("GRAFT_BENCH_BATCH_SIZE", "131072")),
+        write_mode="delta",
+        shuffle="staged",
+    )
+    init_lake_distributed(
+        lake, TableSpec(name="sequences", schema=PAYLOAD_SCHEMA),
+        [str(base_path)], cfg=cfg,
+    )
+
+    @ray.remote(num_cpus=1)
+    def _gen_seg(log_dir: str, e: int, k: int) -> dict:
+        # own RNG substream per (epoch, segment); lsn contiguous and
+        # globally increasing across epochs so LWW order is the replay
+        # order (same layout contract as synth_dataset_big)
+        n = per_seg if k < segs_per_epoch - 1 else \
+            per_epoch - per_seg * (segs_per_epoch - 1)
+        start = 10_000_000 + per_epoch * e + per_seg * k
+        ev = make_changelog(n, n_docs, seed=42 + 100 + e * segs_per_epoch + k,
+                            start_lsn=start, min_len=8, max_len=max_len)
+        perm = np.random.default_rng(42 + 500 + e * segs_per_epoch + k
+                                     ).permutation(n)
+        ev = ev.take(pa.array(perm))
+        name = f"seg-{e:02d}-{k:05d}.parquet"
+        pq.write_table(ev, Path(log_dir) / name, compression="zstd")
+        lsns = ev.column("lsn").to_numpy()
+        return {"name": name, "rows": n,
+                "min_lsn": int(lsns.min()), "max_lsn": int(lsns.max()),
+                "bytes": os.path.getsize(Path(log_dir) / name)}
+
+    epochs = []
+    pipeline_sec = 0.0
+    for e in range(n_epochs):
+        log_dir = root / f"log_{e:02d}"
+        log_dir.mkdir(parents=True, exist_ok=True)
+        t_s0 = time.perf_counter()
+        segs = ray.get([_gen_seg.remote(str(log_dir), e, k)
+                        for k in range(segs_per_epoch)])
+        segs.sort(key=lambda s: s["name"])
+        (log_dir / "manifest.json").write_text(json.dumps({"segments": segs}))
+        synth_sec = time.perf_counter() - t_s0
+
+        t_i0 = time.perf_counter()
+        r = ingest(lake, log_dir, cfg=cfg)
+        ingest_sec = time.perf_counter() - t_i0
+
+        t_c0 = time.perf_counter()
+        c = compact_deltas(lake, min_delta_ratio=0.3, cfg=cfg)
+        compact_sec = time.perf_counter() - t_c0
+
+        shutil.rmtree(log_dir, ignore_errors=True)
+        pipeline_sec += ingest_sec + compact_sec
+        epochs.append({
+            "epoch": e, "events": int(r["events_read"]),
+            "synth_sec": round(synth_sec, 1),
+            "ingest_sec": round(ingest_sec, 1),
+            "compact_sec": round(compact_sec, 1),
+            "parts_folded": int(c.get("partitions_folded", 0)),
+        })
+        done = sum(x["events"] for x in epochs)
+        print(json.dumps({"north_progress": epochs[-1], "events_done": done}),
+              file=sys.stderr, flush=True)
+
+    total_events = sum(x["events"] for x in epochs)
+    wall = time.perf_counter() - t_all0
+    print(json.dumps({
+        "metric": "north_replay_events_per_sec",
+        "events": int(total_events),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "epochs": epochs,
+        "write_mode": "delta+size_tiered_compact(ratio=0.3)",
+        "pipeline_sec": round(pipeline_sec, 1),
+        "events_per_sec": round(total_events / pipeline_sec, 1),
+        "wall_sec_incl_synth": round(wall, 1),
+        "base_synth_sec": base_sec,
+        "scratch": os.environ.get("GRAFT_TMP", "/tmp"),
+    }))
+    ray.shutdown()
+
+
 def _multinode_child() -> None:
     """Child process: build an n-node local Ray cluster (one raylet +
     object store per node — real inter-node object transfers over
@@ -515,6 +650,8 @@ if __name__ == "__main__":
         steady_state()
     elif "--endurance" in sys.argv:
         endurance()
+    elif "--north" in sys.argv:
+        north()
     elif "--nodes" in sys.argv:
         nodes_scaling()
     elif "--nodes-child" in sys.argv:

@@ -445,18 +445,25 @@ def north() -> None:
     ``write_mode="delta"`` + size-tiered ``compact_deltas`` folded inline
     per epoch (the steady-state shape BASELINE.md documents).
 
-    Storage discipline: one epoch's log (~44 GB at 10^9 events,
-    max_len=32) is synthesized fresh — its own RNG substreams and a
-    contiguous, globally-increasing lsn range — ingested, then DELETED
-    before the next epoch is generated, so tmpfs holds at most one
-    epoch's log plus the lake at any time. Prints per-epoch synth /
+    Epoch sizing is a single-node storage constraint, not a pipeline
+    one: one epoch's log + its staged exchange + the lake must coexist
+    on this node's tmpfs (a 10^9-event epoch needs ~44+68+28 GB > the
+    126 GB available; 5x10^8 fits with headroom — on a real cluster
+    each node brings its own store and 10^9 epochs are the natural
+    grain). Storage discipline: one epoch's log is synthesized fresh —
+    its own RNG substreams and a contiguous, globally-increasing lsn
+    range — ingested, then DELETED before the next epoch is generated,
+    so tmpfs holds at most one epoch's log plus the lake at any time.
+    Prints per-epoch synth /
     ingest / compact seconds and the overall sustained events/sec
     (ingest+compact only — synth is data generation, not pipeline work;
     the all-in wall time is reported separately)."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR",
+             object_store_memory=int(os.environ.get(
+                 "GRAFT_NORTH_STORE", str(24 * 2**30))))
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -472,9 +479,9 @@ def north() -> None:
     from rfb_cnpj_etl_ray.synth import make_base, make_changelog
 
     n_events = int(os.environ.get("GRAFT_NORTH_EVENTS", "10000000000"))
-    n_epochs = int(os.environ.get("GRAFT_NORTH_EPOCHS", "10"))
+    n_epochs = int(os.environ.get("GRAFT_NORTH_EPOCHS", "20"))
     n_docs = int(os.environ.get("GRAFT_NORTH_DOCS", "20000000"))
-    segs_per_epoch = int(os.environ.get("GRAFT_NORTH_SEGMENTS", "160"))
+    segs_per_epoch = int(os.environ.get("GRAFT_NORTH_SEGMENTS", "80"))
     max_len = 32
     per_epoch = n_events // n_epochs
     per_seg = per_epoch // segs_per_epoch

@@ -70,6 +70,13 @@ QUERY_NAMES = [
     # k-means (per-iteration broadcast + partial-sum reduce)
     "decontaminate_val",
     "kmeans_clusters",
+    # round-4: the operators that first got driver-verification this
+    # round — banded simhash near-dup, end-to-end survivor corpus,
+    # streamed-broadcast knn, probe-pruned IVF ANN
+    "simhash_near_dup_pairs",
+    "dedup_corpus",
+    "knn_graph",
+    "ann_ivf_topk",
 ]
 
 

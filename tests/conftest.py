@@ -31,4 +31,7 @@ def tmp_lake(tmp_path):
     return tmp_path / "lake"
 
 
-SF_DIR = "/root/testdata/sf0.001"
+#: override with GRAFT_TEST_SF_DIR to run the driver-conformance tests at
+#: a different scale (e.g. sf0.01 — the scale the driver's correctness
+#: gate actually uses)
+SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -97,6 +97,74 @@ def test_widen_evolution(ray_session, tmp_path):
     assert_states_equal(replay(base, ev), out)
 
 
+def test_evolution_survives_sigkill_and_dup_batch(ray_session, tmp_path):
+    """The north rule's three robustness criteria in ONE replay: later
+    segments add a column (schema evolution), a real ingest subprocess is
+    SIGKILLed mid-flight (crash-restart), the resumed ingest converges,
+    and a full re-ingest of the same log (duplicated batches) is a noop —
+    final state matches the oracle replay over the evolved event union."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    base = make_base(1500, seed=40, max_len=32)
+    ev1 = make_changelog(15000, 1500, seed=41, start_lsn=1000, max_len=32)
+    ev2 = make_changelog(15000, 1500, seed=42, start_lsn=20000, max_len=32)
+    lang = pa.array(
+        np.array(["pt", "en", "es"])[np.random.default_rng(43).integers(0, 3, 15000)]
+    )
+    ev2 = ev2.append_column("lang", lang)
+
+    log_dir = tmp_path / "log"
+    write_changelog_segments(ev1, log_dir, 3, shuffle_seed=44)
+    m1 = json.loads((log_dir / "manifest.json").read_text())
+    log2 = tmp_path / "log2"
+    write_changelog_segments(ev2, log2, 3, shuffle_seed=45)
+    m2 = json.loads((log2 / "manifest.json").read_text())
+    for s in m2["segments"]:
+        new_name = s["name"].replace("seg-000", "seg-100")
+        (log2 / s["name"]).rename(log_dir / new_name)
+        m1["segments"].append({**s, "name": new_name})
+    (log_dir / "manifest.json").write_text(json.dumps(m1))
+
+    lake = tmp_path / "lake"
+    init_lake(lake, SPEC, base=base, num_partitions=8)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rfb_cnpj_etl_ray.cli", "--num-cpus", "4",
+         "ingest", str(lake), str(log_dir), "--batch-size", "2048"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    time.sleep(5.0)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    time.sleep(1.0)
+
+    cfg = EngineConfig(num_partitions=8)
+    ingest(lake, log_dir, cfg=cfg)  # resume after the crash
+    dup = ingest(lake, log_dir, cfg=cfg)  # duplicated batch: must be a noop
+    assert dup["noop"]
+
+    from rfb_cnpj_etl_ray.spec import evolve_schema
+
+    evolved = evolve_schema(CHANGE_SCHEMA, ev2.schema)
+    all_ev = pa.concat_tables(
+        [_cast_events(ev1, evolved), _cast_events(ev2, evolved)]
+    )
+    out = read_lake_table(lake)
+    assert "lang" in out.schema.names
+    assert_states_equal(replay(base, all_ev), out)
+    sch = CommitLog(lake / "sequences").committed_schema()
+    assert sch.field("lang").type == pa.string()
+
+
 def test_narrowing_rejected_loudly(ray_session, tmp_path):
     """A segment with n_tok:string must fail the ingest before any write."""
     base = make_base(20, seed=1, max_len=16)

@@ -450,7 +450,7 @@ def endurance() -> None:
 def north() -> None:
     """The north rule's literal replay: GRAFT_NORTH_EVENTS (default 10^10)
     change events applied to a final-state-correct lake table, in
-    GRAFT_NORTH_EPOCHS (default 10) epochs of 10^9 events each, with
+    GRAFT_NORTH_EPOCHS (default 20) epochs of 5x10^8 events each, with
     ``write_mode="delta"`` + size-tiered ``compact_deltas`` folded inline
     per epoch (the steady-state shape BASELINE.md documents).
 
@@ -492,8 +492,13 @@ def north() -> None:
     n_docs = int(os.environ.get("GRAFT_NORTH_DOCS", "20000000"))
     segs_per_epoch = int(os.environ.get("GRAFT_NORTH_SEGMENTS", "80"))
     max_len = 32
-    per_epoch = n_events // n_epochs
-    per_seg = per_epoch // segs_per_epoch
+    # remainder events land in the early epochs so the total is EXACTLY
+    # n_events (10^10 requested must mean 10^10 replayed)
+    epoch_events_plan = [n_events // n_epochs + (1 if e < n_events % n_epochs
+                                                 else 0)
+                         for e in range(n_epochs)]
+    epoch_starts = [10_000_000 + sum(epoch_events_plan[:e])
+                    for e in range(n_epochs)]
     tmp = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
     root = tmp / f"north_{n_docs}_{n_events}"
     shutil.rmtree(root, ignore_errors=True)
@@ -519,13 +524,15 @@ def north() -> None:
     )
 
     @ray.remote(num_cpus=1)
-    def _gen_seg(log_dir: str, e: int, k: int) -> dict:
+    def _gen_seg(log_dir: str, e: int, k: int,
+                 epoch_start: int, epoch_n: int) -> dict:
         # own RNG substream per (epoch, segment); lsn contiguous and
         # globally increasing across epochs so LWW order is the replay
         # order (same layout contract as synth_dataset_big)
+        per_seg = epoch_n // segs_per_epoch
         n = per_seg if k < segs_per_epoch - 1 else \
-            per_epoch - per_seg * (segs_per_epoch - 1)
-        start = 10_000_000 + per_epoch * e + per_seg * k
+            epoch_n - per_seg * (segs_per_epoch - 1)
+        start = epoch_start + per_seg * k
         ev = make_changelog(n, n_docs, seed=42 + 100 + e * segs_per_epoch + k,
                             start_lsn=start, min_len=8, max_len=max_len)
         perm = np.random.default_rng(42 + 500 + e * segs_per_epoch + k
@@ -544,7 +551,9 @@ def north() -> None:
         log_dir = root / f"log_{e:02d}"
         log_dir.mkdir(parents=True, exist_ok=True)
         t_s0 = time.perf_counter()
-        segs = ray.get([_gen_seg.remote(str(log_dir), e, k)
+        segs = ray.get([_gen_seg.remote(str(log_dir), e, k,
+                                        epoch_starts[e],
+                                        epoch_events_plan[e])
                         for k in range(segs_per_epoch)])
         segs.sort(key=lambda s: s["name"])
         (log_dir / "manifest.json").write_text(json.dumps({"segments": segs}))

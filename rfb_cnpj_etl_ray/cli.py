@@ -129,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default="sequences")
     sp.add_argument("--delete-missing", action="store_true",
                     help="also delete lake keys absent from the source")
+    sp.add_argument("--assume-unique", action="store_true",
+                    help="skip the source doc_id uniqueness gate (for "
+                         "pre-deduplicated sources; duplicate doc_ids then "
+                         "merge nondeterministically under the same-LSN "
+                         "tie rule)")
 
     sp = sub.add_parser("export", help="export lake state through a sink")
     sp.add_argument("lake")
@@ -312,7 +317,8 @@ def main(argv: list[str] | None = None) -> int:
                 override_num_blocks=sized_blocks([args.source_parquet]))
             print(json.dumps(merge_into(
                 args.lake, src, table=args.table,
-                delete_missing=args.delete_missing)))
+                delete_missing=args.delete_missing,
+                validate_unique=not args.assume_unique)))
         elif args.cmd == "export":
             from rfb_cnpj_etl_ray.sinks import export_lake
 

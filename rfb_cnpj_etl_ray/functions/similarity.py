@@ -353,25 +353,35 @@ def knn_graph(sf_dir: str, k: int = KNN_K):
 
     class Neighbors:
         def __init__(self, refs, k):
-            parts = [ray.get(r) for r in refs]  # once per actor
-            self.ids = np.concatenate([p[0] for p in parts])
-            self.m = np.vstack([p[1] for p in parts])
+            # shard views stay plasma-backed (zero-copy, read-only): all
+            # actors on a node share ONE physical corpus copy; nothing
+            # here concatenates a private heap replica
+            self.shards = [ray.get(r) for r in refs]  # once per actor
+            self.n_total = sum(len(ids) for ids, _ in self.shards)
             self.k = k
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            simr = np.round(q @ self.m.T, 4)  # (B, N), 4-decimal pinned
-            # packed descending-sim / ascending-id key: int64 is exact
-            # (sim milli ≤ 2×10^4 → high word; ids < 2^31 → low word)
-            # rint, not a cast: 0.2563*10⁴ is 2562.999… in binary
-            milli = np.rint(simr * 10_000).astype(np.int64)
-            key = ((10_000 - milli) << 32) \
-                + self.ids.astype(np.int64)[None, :]
-            # self-exclusion: push own id past any real key
-            self_mask = batch["vec_id"].to_numpy()[:, None] == self.ids[None, :]
-            key = np.where(self_mask, np.int64(2**62), key)
-            kk = min(self.k, key.shape[1] - 1)
+            qids = batch["vec_id"].to_numpy()
+            kk = min(self.k, self.n_total - 1)
+            # per-shard local top-kk (local top-k ⊇ global top-k), then
+            # one global partition over the B×(shards×kk) candidates —
+            # peak memory is one B×n_shard key matrix, not B×N
+            cands = []
+            for ids, m in self.shards:
+                simr = np.round(q @ m.T, 4)  # 4-decimal pinned
+                # packed descending-sim / ascending-id key: int64 is
+                # exact (sim milli ≤ 2×10^4 → high word; ids < 2^31 →
+                # low word); rint, not a cast: 0.2563*10⁴ is 2562.999…
+                milli = np.rint(simr * 10_000).astype(np.int64)
+                key = ((10_000 - milli) << 32) + ids[None, :]
+                # self-exclusion: push own id past any real key
+                self_mask = qids[:, None] == ids[None, :]
+                key = np.where(self_mask, np.int64(2**62), key)
+                kl = min(kk, key.shape[1])
+                cands.append(np.partition(key, kl - 1, axis=1)[:, :kl])
+            key = np.hstack(cands) if len(cands) > 1 else cands[0]
             part = np.partition(key, kk - 1, axis=1)[:, :kk]
             part.sort(axis=1)
             neigh = (part & 0xFFFFFFFF).astype(np.int64)

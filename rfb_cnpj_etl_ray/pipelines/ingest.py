@@ -1016,27 +1016,39 @@ def merge_into(
         # LWW tie-keep is only idempotent for identical copies and the
         # survivor would depend on block order. Reject loudly (disable
         # for pre-deduplicated sources to skip the extra passes).
-        # Shape: per-batch unique partial → one keyed exchange on doc_id
-        # → per-block distinct counts → tiny sum; never O(source) on the
-        # driver.
+        # Shape: ONE pass over the source — per-batch unique partial that
+        # carries its pre-dedup row count → one keyed exchange on doc_id
+        # → per-block (distinct, pre) counts → one tiny two-column sum;
+        # never O(source) on the driver, never a second source read.
         import pyarrow.compute as _pc
 
         from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
         keys = source.select_columns(["doc_id"])
-        n_total = keys.count()
 
         def _uniq(t: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": _pc.unique(t.column("doc_id"))})
+            u = _pc.unique(t.column("doc_id"))
+            pre = np.zeros(len(u), dtype=np.int64)
+            if len(u):  # rows==0 -> contributes 0 either way
+                pre[0] = t.num_rows
+            return pa.table({"doc_id": u, "pre": pa.array(pre)})
 
-        def _nuniq(t: pa.Table) -> pa.Table:
-            n = _pc.count_distinct(t.column("doc_id")).as_py()
-            return pa.table({"n": pa.array([n], pa.int64())})
+        def _counts(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n": pa.array(
+                    [_pc.count_distinct(t.column("doc_id")).as_py()],
+                    pa.int64()),
+                "pre": pa.array(
+                    [_pc.sum(t.column("pre")).as_py() or 0], pa.int64()),
+            })
 
         part = keys.map_batches(_uniq, batch_format="pyarrow",
                                 zero_copy_batch=True)
-        n_distinct = repartition_by_key(part, ["doc_id"]).map_batches(
-            _nuniq, batch_format="pyarrow", batch_size=None).sum("n") or 0
+        sums = repartition_by_key(part, ["doc_id"]).map_batches(
+            _counts, batch_format="pyarrow", batch_size=None
+        ).sum(["n", "pre"]) or {}
+        n_distinct = sums.get("sum(n)") or 0
+        n_total = sums.get("sum(pre)") or 0
         if n_distinct != n_total:
             raise ValueError(
                 f"merge_into source has {n_total - n_distinct} duplicate "

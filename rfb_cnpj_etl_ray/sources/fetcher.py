@@ -199,6 +199,10 @@ def fetch_segments(
     retried task resumes from its .part offset — no double work, no
     torn files). ``max_parallel`` caps simultaneous fetch tasks (the
     reference's ``--workers`` download knob, cnpj_downloader.py)."""
+    if max_parallel is not None and max_parallel < 1:
+        # a falsy 0 must not silently mean "uncapped" — that is the
+        # opposite of the request
+        raise ValueError(f"max_parallel must be >= 1, got {max_parallel}")
     items = [{"name": n} for n in sorted(names)]
     if not items:
         return []
@@ -219,7 +223,7 @@ def fetch_segments(
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     return ds.map_batches(
         fetch, batch_size=1, batch_format="pyarrow",
-        **({"concurrency": max_parallel} if max_parallel else {}),
+        **({"concurrency": max_parallel} if max_parallel is not None else {}),
     ).take_all()
 
 

@@ -141,7 +141,21 @@ def test_evolution_survives_sigkill_and_dup_batch(ray_session, tmp_path):
         env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
-    time.sleep(5.0)
+    # kill only once the subprocess has demonstrably written staged
+    # exchange files — a fixed sleep can land before ray.init finishes
+    # (kill exercises nothing) or after the ingest completes
+    staging = lake / "sequences" / "_staging"
+    deadline = time.monotonic() + 60.0
+    saw_midflight = False
+    while time.monotonic() < deadline and proc.poll() is None:
+        if any(staging.rglob("*")) if staging.exists() else False:
+            saw_midflight = True
+            break
+        time.sleep(0.1)
+    assert saw_midflight, (
+        "ingest subprocess finished or timed out before staging any "
+        "files — the kill would not exercise crash-restart")
+    time.sleep(0.5)  # let the merge phase begin for some partitions
     if proc.poll() is None:
         os.killpg(proc.pid, signal.SIGKILL)
     proc.wait()

@@ -81,6 +81,36 @@ def test_embedding_near_dup_structure(ray_session):
         assert (pairs["vec_a"] < pairs["vec_b"]).all()
 
 
+def test_ann_ivf_oracle_at_sampling_scale(ray_session, tmp_path):
+    """The hash-threshold and rk-trim arms of the IVF fit are dead code at
+    every shipped sf (all < 2×IVF_SAMPLE rows keep threshold saturated at
+    1.0 and the sample under IVF_SAMPLE). Synthesize an embeddings table
+    big enough that BOTH arms bite (6000 > 4096 → threshold ≈0.68, kept
+    ≈4100 > 2048 → trim), then require the engine and ANN_IVF_TOPK_SQL to
+    still agree bit-for-bit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, dim = 6000, 16
+    rng = np.random.default_rng(1234)
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n).astype(np.int32)),
+    })
+    sf = tmp_path / "sf_big_emb"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet")
+    for name in os.listdir(SF_DIR):  # the oracle view set needs all tables
+        if name != "embeddings.parquet" and name.endswith(".parquet"):
+            os.symlink(os.path.join(SF_DIR, name), sf / name)
+    assert_query_matches(S.ann_ivf_topk, S.ANN_IVF_TOPK_SQL, str(sf))
+
+
 def test_ann_ivf_matches_probed_bucket_oracle(ray_session):
     """IVF result must equal a driver-side brute-force search restricted
     to the same probed buckets (self-consistency — absolute recall is a

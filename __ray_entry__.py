@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": M.multimodal_features,
         "multimodal_wav_decode": M.multimodal_wav_decode,
         "ann_ivf_topk": S.ann_ivf_topk,
+        # round-4 additions (never driver-verified)
+        "dup_span_stats": T.dup_span_stats,
+        "chunk_sequences": T.chunk_sequences,
         # r2-green but unchecked in r3 (registry truncation)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -232,6 +235,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": T.BIGRAM_TOPK_SQL,
         "decontaminate_val": T.DECONTAMINATE_VAL_SQL,
         "repetition_scores": T.REPETITION_SCORES_SQL,
+        "dup_span_stats": T.DUP_SPAN_STATS_SQL,
+        "chunk_sequences": T.CHUNK_SEQUENCES_SQL,
         "source_mix_sample": T.SOURCE_MIX_SAMPLE_SQL,
         "props_extract_stats": R.PROPS_EXTRACT_STATS_SQL,
         "change_feed_users": R.CHANGE_FEED_USERS_SQL,

@@ -1135,3 +1135,198 @@ WITH m AS (
 )
 SELECT doc_id, source FROM r JOIN t USING (source) WHERE rn <= tgt
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span statistics (ExactSubstr-dedup analog)
+# ---------------------------------------------------------------------------
+
+DUP_N = 8  # span width in words
+
+
+def dup_span_stats(sf_dir: str):
+    """Per-document duplicated-span report: for every document, the
+    total number of ``DUP_N``-word span positions and how many of those
+    positions carry a span that also occurs in at least one OTHER
+    document — the fixed-width approximation of suffix-array exact-
+    substring dedup (long verbatim overlaps between documents are what
+    make trained models regurgitate). Within-doc repetition is excluded
+    on purpose (``repetition_scores`` covers it): a span counts as
+    duplicated only when ≥2 distinct doc_ids carry it.
+
+    Scale shape: per-batch flat-buffer shingling pre-folds to DISTINCT
+    (doc_id, gram, n_pos) rows (each doc lives in one batch, so the
+    per-batch fold is exact); ONE keyed exchange on the gram co-locates
+    each span's carriers and folds per-doc partials inside the bucket;
+    a second, much smaller exchange on doc_id sums the partials. The
+    wide text column never shuffles and no gram set is ever broadcast
+    — O(tokens) rows into the first exchange, O(docs·buckets) into the
+    second."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    def spans(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "gram": pd.Series([], dtype="object"),
+                              "n_pos": pd.Series([], dtype="int64")})
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < DUP_N:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words if len(w)])
+        doc_of = np.repeat(batch["doc_id"].to_numpy()[lens > 0],
+                           lens[lens > 0])
+        # start i is a span iff word i+N-1 still belongs to the same doc
+        valid = doc_of[: total - (DUP_N - 1)] == doc_of[DUP_N - 1:]
+        if not valid.any():
+            return empty
+        g = pd.Series(flat[: total - (DUP_N - 1)], dtype=object)
+        for j in range(1, DUP_N):
+            g = g + " " + pd.Series(
+                flat[j: total - (DUP_N - 1) + j], dtype=object)
+        return (
+            pd.DataFrame({"doc_id": doc_of[: total - (DUP_N - 1)][valid],
+                          "gram": g.to_numpy(dtype=object)[valid]})
+            .groupby(["doc_id", "gram"], as_index=False, sort=False)
+            .size().rename(columns={"size": "n_pos"})
+        )
+
+    def mark(df: pd.DataFrame) -> pa.Table:
+        # gram buckets are whole within a block after the exchange; fold
+        # straight to per-doc partials so the doc exchange stays tiny
+        if df.empty:
+            out = pd.DataFrame({"doc_id": [], "tot": [], "dup": []})
+        else:
+            shared = df.groupby("gram", sort=False)["doc_id"].transform(
+                "nunique") >= 2
+            out = (
+                pd.DataFrame({"doc_id": df["doc_id"], "tot": df["n_pos"],
+                              "dup": df["n_pos"].where(shared, 0)})
+                .groupby("doc_id", as_index=False).sum()
+            )
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "tot": pa.array(out["tot"], pa.int64()),
+                         "dup": pa.array(out["dup"], pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            out = pd.DataFrame({"doc_id": [], "tot": [], "dup": []})
+        else:
+            out = df.groupby("doc_id", as_index=False).sum()
+        tot = out["tot"].to_numpy(dtype=np.int64)
+        dup = out["dup"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_spans": pa.array(tot, pa.int64()),
+            "n_dup_spans": pa.array(dup, pa.int64()),
+            "dup_span_frac_milli": pa.array(
+                dup * 1000 // np.maximum(tot, 1), pa.int64()),
+        })
+
+    parts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        spans, batch_format="pandas")
+    partials = repartition_by_key(parts, ["gram"]).map_batches(
+        mark, batch_format="pandas", batch_size=None)
+    return repartition_by_key(partials, ["doc_id"]).map_batches(
+        fold, batch_format="pandas", batch_size=None)
+
+
+# span concat generated from DUP_N so the width can never desync
+# between the engine and this oracle (r3 ADVICE rule)
+_SPAN_CONCAT = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DUP_N))
+
+DUP_SPAN_STATS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, {_SPAN_CONCAT} AS gram, COUNT(*) AS n_pos
+  FROM w, unnest(range(1, len(ws) - {DUP_N - 2})) AS t(i)
+  GROUP BY doc_id, gram
+), shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(SUM(n_pos) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN s.gram IS NOT NULL THEN n_pos ELSE 0 END)
+            AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN s.gram IS NOT NULL THEN n_pos ELSE 0 END) * 1000
+            // SUM(n_pos) AS BIGINT) AS dup_span_frac_milli
+FROM g LEFT JOIN shared s USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (fixed window, overlapping stride)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32  # window width in words
+CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S words of overlap)
+
+
+def chunk_sequences(sf_dir: str):
+    """Split every document into ``CHUNK_W``-word windows advancing by
+    ``CHUNK_S`` words (the context-window chunking step that turns long
+    documents into trainable sequences with overlap so no span is lost
+    at a boundary). Emits ``(doc_id, chunk_id, n_tok, chunk_text)``;
+    the final window of a document may be short, empty documents emit
+    nothing.
+
+    Scale shape: embarrassingly parallel — one stateless ``map_batches``
+    with zero shuffle. The kernel is a flat word buffer + numpy offset
+    arithmetic; the overlapping windows are materialized by ONE fancy
+    gather and joined back to strings by ONE ``np.add.reduceat`` over
+    the gathered buffer — no per-row (or per-chunk) Python join."""
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "chunk_id": pd.Series([], dtype="int64"),
+                              "n_tok": pd.Series([], dtype="int64"),
+                              "chunk_text": pd.Series([], dtype="object")})
+        words = batch["text"].str.findall(WS_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words if len(w)])
+        # chunks per doc: starts 0, S, 2S, ... while start < n_words
+        k = np.where(lens > 0, (lens - 1) // CHUNK_S + 1, 0)
+        n_chunks = int(k.sum())
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(), k)
+        chunk_id = np.arange(n_chunks) - np.repeat(np.cumsum(k) - k, k)
+        start = chunk_id * CHUNK_S
+        n_tok = np.minimum(CHUNK_W, np.repeat(lens, k) - start)
+        # global start of each chunk inside the flat buffer
+        off = np.cumsum(lens) - lens
+        gstart = np.repeat(off, k) + start
+        # gather all (overlapping) window members with one fancy index
+        tot_tok = int(n_tok.sum())
+        bounds = np.cumsum(n_tok) - n_tok
+        pos = np.arange(tot_tok) - np.repeat(bounds, n_tok)
+        gathered = flat[np.repeat(gstart, n_tok) + pos] + " "
+        joined = np.add.reduceat(gathered, bounds)
+        return pd.DataFrame({
+            "doc_id": doc_rep,
+            "chunk_id": chunk_id.astype(np.int64),
+            "n_tok": n_tok.astype(np.int64),
+            # every word is \\S+ so exactly one trailing space to drop
+            "chunk_text": pd.Series(joined, dtype=object).str[:-1],
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pandas")
+
+
+CHUNK_SEQUENCES_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(i // {CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(len(ws[i + 1 : i + {CHUNK_W}]) AS BIGINT) AS n_tok,
+       array_to_string(ws[i + 1 : i + {CHUNK_W}], ' ') AS chunk_text
+FROM w, unnest(range(0, len(ws), {CHUNK_S})) AS t(i)
+"""

@@ -276,9 +276,21 @@ _STATIC_NATIONS = [(90, "ATLANTIS", 0), (91, "ELDORADO", 1)]
 def upsert_static_nations(sf_dir: str):
     """INSERT ... ON CONFLICT DO NOTHING re-expressed: broadcast the
     static rows, filter out keys already present, union — first-writer
-    wins, duplicates impossible."""
+    wins, duplicates impossible.
+
+    Scale shape: the presence probe is a column-pruned scan filtered to
+    the static key list inside ``map_batches`` (≤ len(_STATIC_NATIONS)
+    rows ever reach the driver) — NOT a full-table ``unique()``, which
+    at 100 TB would shuffle every key to compute a 2-element set."""
     ds = _read(sf_dir, "nation")
-    existing = set(x for x in ds.unique("n_nationkey"))
+    probe_keys = pa.array([r[0] for r in _STATIC_NATIONS], pa.int32())
+
+    def probe(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["n_nationkey"], value_set=probe_keys))
+
+    hits = (_read(sf_dir, "nation", columns=["n_nationkey"])
+            .map_batches(probe, batch_format="pyarrow"))
+    existing = set(x["n_nationkey"] for x in hits.take_all())
     missing = [r for r in _STATIC_NATIONS if r[0] not in existing]
     add = pa.table(
         {

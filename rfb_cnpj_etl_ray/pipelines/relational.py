@@ -638,6 +638,42 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 VIEW_EPOCHS = 4  # power of two: epoch = event_id & (N-1) filters vectorized
 
 
+def _ckpt_writer(path_str: str):
+    """Pass-through map_batches stage that stages each block to its own
+    parquet file under ``path_str`` — the fused fold+checkpoint write
+    (same staged-parts recipe as the CDC merge; the ``_DONE`` marker the
+    caller drops afterwards is the commit point, so a crash mid-write
+    leaves only an unmarked dir that the next run rmtree's)."""
+
+    def write_block(t: pa.Table) -> pa.Table:
+        # re-pin the key's surface type first (Ray's Aggregate
+        # round-trips keys through numpy and collapses the timestamp
+        # unit), so the checkpoint and the flowing view agree
+        t = t.set_column(
+            t.schema.get_field_index("hour"), "hour",
+            pc.cast(t.column("hour"), pa.timestamp("us")))
+        if t.num_rows:
+            import uuid
+            from pathlib import Path
+
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                t, Path(path_str) / f"part-{uuid.uuid4().hex}.parquet")
+        return t
+
+    return write_block
+
+
+def _read_ckpt(path: "Path"):
+    """Resume read of a ``_DONE``-marked checkpoint dir; an empty view
+    checkpoint has no part files — that's an empty view, not an error."""
+    files = sorted(str(p) for p in path.glob("*.parquet"))
+    if not files:
+        return ray.data.from_arrow(_HOURLY_PARTIAL_SCHEMA.empty_table())
+    return ray.data.read_parquet(files)
+
+
 def incremental_hourly_activity(sf_dir: str, resume: bool = False):
     """The hourly view maintained INCREMENTALLY across event epochs.
 
@@ -712,8 +748,7 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
         (arrivals / "_DONE").touch()
 
     prev: Path | None = scratch / f"epoch_{start}" if start >= 0 else None
-    view = (ray.data.read_parquet(str(prev), file_extensions=["parquet"])
-            if prev is not None else None)
+    view = _read_ckpt(prev) if prev is not None else None
     for ep in range(start + 1, VIEW_EPOCHS):
         # pin the read's block count to the epoch's on-disk size: Ray's
         # CPU-derived default over-splits a small epoch into 64 tiny
@@ -734,26 +769,31 @@ def incremental_hourly_activity(sf_dir: str, resume: bool = False):
                 _HOURLY_PARTIAL_SCHEMA.empty_table())
         if view is not None:
             partials = partials.union(view)
+        path = scratch / f"epoch_{ep}"
+        shutil.rmtree(path, ignore_errors=True)  # half-written leftovers
+        path.mkdir(parents=True, exist_ok=True)
         folded = partials.groupby(["user_id", "hour"]).aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_cents", alias_name="sum_cents"),
         ).map_batches(
-            # re-pin the key's surface type: Ray's Aggregate round-trips
-            # keys through numpy and collapses the timestamp unit
-            lambda t: t.set_column(
-                t.schema.get_field_index("hour"), "hour",
-                pc.cast(t.column("hour"), pa.timestamp("us"))),
+            # re-pin the key's surface type (Ray's Aggregate round-trips
+            # keys through numpy and collapses the timestamp unit) AND
+            # stage-write the checkpoint from the SAME graph — fold +
+            # checkpoint is ONE plan per refresh, not write_parquet plus
+            # a read-back (VERDICT r4 #4: the 9-chained-plans fixed-cost
+            # floor). The blocks flow on as the next epoch's view, so
+            # the view never leaves the object store between refreshes;
+            # the parquet files exist only for crash resume.
+            _ckpt_writer(str(path)),
             batch_format="pyarrow",
         )
-        path = scratch / f"epoch_{ep}"
-        shutil.rmtree(path, ignore_errors=True)  # half-written leftovers
-        path.mkdir(parents=True, exist_ok=True)
-        folded.write_parquet(str(path))
+        # materialize = the plan's single execution; _DONE only after it
+        # completes (same commit-point semantics as before)
+        view = folded.materialize()
         (path / "_DONE").touch()  # checkpoint commit point
         if prev is not None:
             shutil.rmtree(prev, ignore_errors=True)
         prev = path
-        view = ray.data.read_parquet(str(path), file_extensions=["parquet"])
     shutil.rmtree(arrivals, ignore_errors=True)  # log consumed
     return view
 

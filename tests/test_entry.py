@@ -10,6 +10,10 @@ from tests.util_compare import assert_query_matches, to_pandas
 
 QUERIES = E.queries()
 ORACLES = E.oracle_sql()
+# the flagship oracle embeds absolute synth-parquet paths sized for the
+# driver's sf0.01 run; re-derive it for this suite's sf so the LWW SQL
+# reads the same cached input the query replays
+ORACLES["cdc_ingest_final_state"] = E.cdc_final_state_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -602,6 +602,174 @@ def north() -> None:
     ray.shutdown()
 
 
+def _stress_corpus(src_sf_dir: str, copies: int) -> Path:
+    """Deterministic ``copies``× blow-up of a documents table for the
+    dedup-family scale stress (VERDICT r4 #5). Copy j re-tags every WORD
+    with a ``c{j}`` prefix (copy 0 is verbatim), so word/shingle hashes —
+    and therefore minhash signatures and LSH buckets — are independent
+    across copies: duplicate CLUSTERS scale linearly (10× docs → ~10×
+    clusters of the same size distribution), the realistic growth mode,
+    instead of 10×-deeper clusters whose pair volume would explode
+    quadratically. doc_ids offset by 10M per copy (stays < 2^31 for the
+    packed-pair path)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = Path(src_sf_dir) / "documents.parquet"
+    out_root = (Path(os.environ.get("GRAFT_TMP", "/tmp"))
+                / "rfb_cnpj_etl_ray"
+                / f"dedup_stress_{Path(src_sf_dir).name}_x{copies}")
+    out = out_root / "documents.parquet"
+    if out.exists():
+        return out_root
+    out_root.mkdir(parents=True, exist_ok=True)
+    df = pq.read_table(src).to_pandas()
+    parts = []
+    for j in range(copies):
+        c = df.copy()
+        c["doc_id"] = c["doc_id"] + j * 10_000_000
+        if j:
+            c["text"] = c["text"].str.replace(
+                r"(\S+)", rf"c{j}\1", regex=True)
+            c["n_chars"] = c["text"].str.len().astype("int64")
+        parts.append(c)
+    big = pd.concat(parts, ignore_index=True)
+    tmp = out_root / "documents.parquet.tmp"
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False), tmp,
+                   compression="zstd")
+    os.replace(tmp, out)
+    return out_root
+
+
+def dedup_stress() -> None:
+    """Scale curve for the sort-based range-exchange dedup family
+    (VERDICT r4 #5): run minhash_lsh_candidates / minhash_dedup_groups /
+    dedup_corpus at sf0.1 and at a GRAFT_STRESS_COPIES× (default 10×)
+    corpus, report wall seconds, docs, and result rows at both scales.
+    The pair stream is the quadratic-risk object; linear cluster growth
+    (see _stress_corpus) is the honest 100 TB growth mode."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as E
+
+    copies = int(os.environ.get("GRAFT_STRESS_COPIES", "10"))
+    big_dir = _stress_corpus(SF_DIR, copies)
+    q = E.queries()
+    names = ["minhash_lsh_candidates", "minhash_dedup_groups",
+             "dedup_corpus"]
+    result: dict = {"metric": "dedup_stress", "num_cpus": NUM_CPUS,
+                    "sf_dir": SF_DIR, "copies": copies}
+    import pyarrow.parquet as pq
+
+    for label, d in (("base", SF_DIR), (f"x{copies}", str(big_dir))):
+        result[f"{label}_docs"] = pq.ParquetFile(
+            Path(d) / "documents.parquet").metadata.num_rows
+        for name in names:
+            t0 = time.perf_counter()
+            res = q[name](d)
+            n_rows = res.count()  # forces full execution
+            sec = time.perf_counter() - t0
+            result[f"{label}_{name}_sec"] = round(sec, 2)
+            result[f"{label}_{name}_rows"] = int(n_rows)
+    for name in names:
+        base_s = result[f"base_{name}_sec"]
+        big_s = result[f"x{copies}_{name}_sec"]
+        result[f"{name}_time_ratio"] = round(big_s / base_s, 2)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def _nodes_dedup_child() -> None:
+    """Child: n-node local Ray cluster (one raylet + plasma store per
+    node), run minhash_dedup_groups over GRAFT_SF_DIR, report docs/sec.
+    The op's wide steps are the banded keyed exchange + the packed-pair
+    sort (range exchange) + the label-propagation rounds — exactly the
+    shuffle machinery whose node scaling VERDICT r4 #6 asks for."""
+    n_nodes = int(os.environ["GRAFT_NODES"])
+    cpus_per_node = int(os.environ.get("GRAFT_CPUS_PER_NODE", "4"))
+    from ray.cluster_utils import Cluster
+
+    import ray
+
+    cluster = Cluster()
+    cluster.add_node(num_cpus=cpus_per_node, include_dashboard=False)
+    for _ in range(n_nodes - 1):
+        cluster.add_node(num_cpus=cpus_per_node)
+    ray.init(address=cluster.address, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    copies = int(os.environ.get("GRAFT_STRESS_COPIES", "0"))
+    sf_dir = str(_stress_corpus(SF_DIR, copies)) if copies > 1 else SF_DIR
+    n_docs = pq.ParquetFile(
+        Path(sf_dir) / "documents.parquet").metadata.num_rows
+    q = E.queries()
+    # warm the worker pool (untimed) with one small run
+    q["minhash_dedup_groups"](SF_DIR if copies <= 1 else sf_dir).count()
+    best = None
+    for _ in range(int(os.environ.get("GRAFT_NODES_DEDUP_REPEATS", "2"))):
+        t0 = time.perf_counter()
+        rows = q["minhash_dedup_groups"](sf_dir).count()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    print(json.dumps({
+        "metric": "minhash_dedup_groups_sec",
+        "value": round(best, 3),
+        "nodes": len([n for n in ray.nodes() if n["Alive"]]),
+        "cpus_per_node": cpus_per_node,
+        "docs": int(n_docs),
+        "rows": int(rows),
+        "docs_per_sec": round(n_docs / best, 1),
+    }))
+    ray.shutdown()
+    cluster.shutdown()
+
+
+def nodes_dedup_scaling() -> None:
+    """N vs 4N NODE scaling for the dedup family (VERDICT r4 #6) — same
+    protocol as --nodes but the job is minhash_dedup_groups (banded
+    exchange + packed-pair range exchange + label propagation)."""
+    levels = [int(x) for x in
+              os.environ.get("GRAFT_NODE_LEVELS", "1,4").split(",")]
+
+    def run(n_nodes: int) -> dict:
+        env = dict(os.environ, GRAFT_NODES=str(n_nodes))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--nodes-dedup-child"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = levels[0], levels[-1]
+    r_lo = run(lo)
+    time.sleep(5)
+    r_hi = run(hi)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "dedup_node_scaling_efficiency",
+        f"sec_{lo}_nodes": r_lo["value"],
+        f"sec_{hi}_nodes": r_hi["value"],
+        f"docs_per_sec_{lo}_nodes": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}_nodes": r_hi["docs_per_sec"],
+        "cpus_per_node": r_lo["cpus_per_node"],
+        "node_ratio": hi / lo,
+        "scaling_efficiency": round(eff, 3),
+        "docs": r_lo["docs"],
+    }))
+
+
 def _multinode_child() -> None:
     """Child process: build an n-node local Ray cluster (one raylet +
     object store per node — real inter-node object transfers over
@@ -681,6 +849,12 @@ if __name__ == "__main__":
         endurance()
     elif "--north" in sys.argv:
         north()
+    elif "--dedup-stress" in sys.argv:
+        dedup_stress()
+    elif "--nodes-dedup-child" in sys.argv:
+        _nodes_dedup_child()
+    elif "--nodes-dedup" in sys.argv:
+        nodes_dedup_scaling()
     elif "--nodes" in sys.argv:
         nodes_scaling()
     elif "--nodes-child" in sys.argv:

@@ -363,6 +363,9 @@ def minhash_lsh_candidates(sf_dir: str):
         # range partitioning is a pure function of the key value and the
         # global sort boundaries, so a packed pair lands wholly in one
         # block → one np.unique per block finishes the global dedup
+        # (pinned against Ray sort-impl changes by
+        # tests/test_range_exchange.py: boundary-equal heavy keys across
+        # many blocks must never split)
         p = np.unique(df["pair"].to_numpy())
         return pd.DataFrame({"doc_a": p >> 32,
                              "doc_b": p & 0xFFFFFFFF})

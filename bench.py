@@ -667,15 +667,21 @@ def dedup_stress() -> None:
                     "sf_dir": SF_DIR, "copies": copies}
     import pyarrow.parquet as pq
 
+    repeats = int(os.environ.get("GRAFT_STRESS_REPEATS", "2"))
     for label, d in (("base", SF_DIR), (f"x{copies}", str(big_dir))):
         result[f"{label}_docs"] = pq.ParquetFile(
             Path(d) / "documents.parquet").metadata.num_rows
         for name in names:
-            t0 = time.perf_counter()
-            res = q[name](d)
-            n_rows = res.count()  # forces full execution
-            sec = time.perf_counter() - t0
-            result[f"{label}_{name}_sec"] = round(sec, 2)
+            # best-of-N: this box's shared-VM noise band is ±30-40% per
+            # single shot (worst observed on minhash: 5.7 s vs 60.3 s) —
+            # the scale RATIO is the measurement, so damp both ends
+            best = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                n_rows = q[name](d).count()  # forces full execution
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+            result[f"{label}_{name}_sec"] = round(best, 2)
             result[f"{label}_{name}_rows"] = int(n_rows)
     for name in names:
         base_s = result[f"base_{name}_sec"]
@@ -715,8 +721,9 @@ def _nodes_dedup_child() -> None:
     n_docs = pq.ParquetFile(
         Path(sf_dir) / "documents.parquet").metadata.num_rows
     q = E.queries()
-    # warm the worker pool (untimed) with one small run
-    q["minhash_dedup_groups"](SF_DIR if copies <= 1 else sf_dir).count()
+    # warm the worker pool (untimed) with one SMALL run — enough to
+    # spawn workers/import modules without paying the big corpus twice
+    q["minhash_dedup_groups"](SF_DIR).count()
     best = None
     for _ in range(int(os.environ.get("GRAFT_NODES_DEDUP_REPEATS", "2"))):
         t0 = time.perf_counter()

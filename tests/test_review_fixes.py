@@ -123,3 +123,41 @@ def test_read_lake_empty_table(ray_session, tmp_path):
                            cfg=EngineConfig(num_partitions=4))
     assert read_lake(lake).count() == 0
     assert read_lake_table(lake).num_rows == 0
+
+
+def test_token_poly_hashes_matches_duckdb_fold():
+    """The tok_hash digest (flagship CDC oracle column) must equal
+    DuckDB's list_reduce Horner fold on arbitrary lists, including
+    empty and NULL arrays (both digest to 0 engine-side; SQL filters
+    deletes before hashing, so only the non-degenerate rows cross)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from rfb_cnpj_etl_ray.hashing import (
+        TOK_HASH_BASE, TOK_HASH_PRIME, token_poly_hashes)
+
+    rng = np.random.default_rng(3)
+    lists = [rng.integers(0, 50_257, size=int(n)).astype(np.int32).tolist()
+             for n in rng.integers(0, 300, size=200)]
+    lists[0] = []  # explicit empty
+    arr = pa.array(lists, pa.list_(pa.int32()))
+    got = token_poly_hashes(arr)
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"tokens": arr}))
+    want = con.execute(
+        "SELECT CASE WHEN len(tokens) = 0 THEN 0 ELSE "
+        " list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "  list_transform(tokens, x -> CAST(x AS BIGINT))), "
+        f" (a, b) -> (a * {TOK_HASH_BASE} + b) % {TOK_HASH_PRIME}) END "
+        "FROM t").fetchnumpy()
+    con.close()
+    assert np.array_equal(got, list(want.values())[0].astype(np.int64))
+
+    # NULL rows digest to 0 and sliced arrays stay aligned
+    with_null = pa.array([None, [1, 2, 3], None], pa.list_(pa.int32()))
+    assert token_poly_hashes(with_null)[0] == 0
+    assert token_poly_hashes(with_null)[2] == 0
+    assert token_poly_hashes(with_null.slice(1, 2))[0] == \
+        token_poly_hashes(with_null)[1]

@@ -163,8 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inside round N's window. r5 window = flagship (oracle NEW this
         # round) → the 22 entries whose last driver row was r3 (led by
         # stratified_sample, rewritten in r4) → the 10 ops touched in r5
-        # → fillers; the 22 entries outside the window are all r4
-        # full-pass with unchanged code. ---
+        # → the 3 ops NEW in r5 → fillers; the 22 entries outside the
+        # window are all r4 full-pass with unchanged code. ---
         # flagship CDC replay — now oracle-checked: the final lake state
         # is one LWW SQL over (base snapshot at lsn 0) ∪ change log
         # (VERDICT r4 #3); the replayer/kill/evolution pytests remain
@@ -209,6 +209,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": S.cluster_balanced_sample,
         "ann_ivf_topk": S.ann_ivf_topk,
         "incremental_hourly_activity": R.incremental_hourly_activity,
+        # ops NEW this round (policy: in-window): rarity profile via a
+        # broadcast corpus-count map, PMI collocations via exact big-int
+        # math over a bigram-keyed exchange, and the hash-sharded
+        # training export (staged per-shard parquet + exact manifest)
+        "token_rarity_scores": T.token_rarity_scores,
+        "pmi_bigram_topk": T.pmi_bigram_topk,
+        "export_training_shards": T.export_training_shards,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -224,11 +231,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,
         "hourly_user_activity": R.hourly_user_activity,
         "parts_per_order": R.parts_per_order,
+        # --- entries below are outside the 50-entry window: all carry
+        # r4 full-pass driver rows and their code is unchanged in r5 ---
         "top_orders": R.top_orders,
         "sliding_user_activity": R.sliding_user_activity,
         "top_orders_per_customer": R.top_orders_per_customer,
-        # --- entries below are outside the 50-entry window: all carry
-        # r4 full-pass driver rows and their code is unchanged in r5 ---
         "source_mix_sample": T.source_mix_sample,
         "props_extract_stats": R.props_extract_stats,
         "change_feed_users": R.change_feed_users,
@@ -341,6 +348,9 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": S.CLUSTER_BALANCED_SAMPLE_SQL,
         "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "multimodal_wav_decode": M.MULTIMODAL_WAV_DECODE_SQL,
+        "token_rarity_scores": T.TOKEN_RARITY_SCORES_SQL,
+        "pmi_bigram_topk": T.PMI_BIGRAM_TOPK_SQL,
+        "export_training_shards": T.EXPORT_TRAINING_SHARDS_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

@@ -81,6 +81,12 @@ QUERY_NAMES = [
     # exchange) + zero-shuffle context-window chunking
     "dup_span_stats",
     "chunk_sequences",
+    # round-5 additions: broadcast-count rarity profile, big-int PMI
+    # collocations over the bigram exchange, hash-sharded training
+    # export (staged per-shard parquet + exact manifest)
+    "token_rarity_scores",
+    "pmi_bigram_topk",
+    "export_training_shards",
 ]
 
 
@@ -693,10 +699,15 @@ def dedup_stress() -> None:
 
 def _nodes_dedup_child() -> None:
     """Child: n-node local Ray cluster (one raylet + plasma store per
-    node), run minhash_dedup_groups over GRAFT_SF_DIR, report docs/sec.
-    The op's wide steps are the banded keyed exchange + the packed-pair
-    sort (range exchange) + the label-propagation rounds — exactly the
-    shuffle machinery whose node scaling VERDICT r4 #6 asks for."""
+    node), run GRAFT_NODES_DEDUP_OP (default minhash_dedup_groups) over
+    GRAFT_SF_DIR, report docs/sec. The family's wide steps are the
+    banded keyed exchange + the packed-pair sort (range exchange) +
+    (for dedup_groups) the label-propagation rounds — exactly the
+    shuffle machinery whose node scaling VERDICT r4 #6 asks for.
+    minhash_lsh_candidates is the volume-bound member (one shot through
+    the pair stream, no sequential rounds) — use it to measure shuffle
+    bandwidth scaling; dedup_groups' fixed-point adds a sequential
+    round-latency floor that dominates at small corpora."""
     n_nodes = int(os.environ["GRAFT_NODES"])
     cpus_per_node = int(os.environ.get("GRAFT_CPUS_PER_NODE", "4"))
     from ray.cluster_utils import Cluster
@@ -720,18 +731,19 @@ def _nodes_dedup_child() -> None:
     sf_dir = str(_stress_corpus(SF_DIR, copies)) if copies > 1 else SF_DIR
     n_docs = pq.ParquetFile(
         Path(sf_dir) / "documents.parquet").metadata.num_rows
+    op = os.environ.get("GRAFT_NODES_DEDUP_OP", "minhash_dedup_groups")
     q = E.queries()
     # warm the worker pool (untimed) with one SMALL run — enough to
     # spawn workers/import modules without paying the big corpus twice
-    q["minhash_dedup_groups"](SF_DIR).count()
+    q[op](SF_DIR).count()
     best = None
     for _ in range(int(os.environ.get("GRAFT_NODES_DEDUP_REPEATS", "2"))):
         t0 = time.perf_counter()
-        rows = q["minhash_dedup_groups"](sf_dir).count()
+        rows = q[op](sf_dir).count()
         sec = time.perf_counter() - t0
         best = sec if best is None else min(best, sec)
     print(json.dumps({
-        "metric": "minhash_dedup_groups_sec",
+        "metric": f"{op}_sec",
         "value": round(best, 3),
         "nodes": len([n for n in ray.nodes() if n["Alive"]]),
         "cpus_per_node": cpus_per_node,
@@ -766,6 +778,8 @@ def nodes_dedup_scaling() -> None:
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
     print(json.dumps({
         "metric": "dedup_node_scaling_efficiency",
+        "op": os.environ.get("GRAFT_NODES_DEDUP_OP",
+                             "minhash_dedup_groups"),
         f"sec_{lo}_nodes": r_lo["value"],
         f"sec_{hi}_nodes": r_hi["value"],
         f"docs_per_sec_{lo}_nodes": r_lo["docs_per_sec"],

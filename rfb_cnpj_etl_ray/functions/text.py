@@ -11,6 +11,7 @@ engine (stateless map_batches; compiled state in actor __init__).
 from __future__ import annotations
 
 import re
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -1329,4 +1330,325 @@ SELECT doc_id,
        CAST(len(ws[i + 1 : i + {CHUNK_W}]) AS BIGINT) AS n_tok,
        array_to_string(ws[i + 1 : i + {CHUNK_W}], ' ') AS chunk_text
 FROM w, unnest(range(0, len(ws), {CHUNK_S})) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# token rarity: per-document frequency-profile features
+# ---------------------------------------------------------------------------
+
+
+def _corpus_token_counts(sf_dir: str):
+    """Global (token, count) map over lowercased whitespace tokens, as a
+    plain dict — per-batch ``np.unique`` partials pre-aggregate so the
+    vocabulary-keyed exchange moves ≤|block vocab| rows per block; the
+    fold is the token-count ``groupby`` and the result is sub-linear in
+    corpus size (bounded by the language's vocabulary), so it is a
+    broadcastable small side, the same contract as ``tfidf_top_terms``'s
+    idf map."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        if not counts.sum():
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words
+                               if len(w)])
+        tok, cnt = np.unique(flat.astype(str), return_counts=True)
+        return pd.DataFrame({"token": tok, "n": cnt.astype(np.int64)})
+
+    tbl = (_read_docs(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    return dict(zip(tbl["token"], (int(x) for x in tbl["n"])))
+
+
+def token_rarity_scores(sf_dir: str):
+    """Per-document token-frequency profile — the rarity features a
+    corpus-quality filter keys on (documents dominated by rare tokens
+    are OCR noise / boilerplate-mangled; documents of only ultra-common
+    tokens carry little signal): token count, the corpus frequency of
+    the document's rarest token, and the floor-average corpus frequency
+    of its tokens. Integer-exact on both engines (no log/float).
+
+    Scale shape: the corpus count map is the broadcast small side
+    (``ray.put`` once, ``ray.get`` per actor in ``__init__``); the score
+    pass is one stateless flat-buffer kernel per batch — map counts with
+    one vectorized lookup, then per-doc ``minimum.reduceat`` /
+    ``add.reduceat``. No shuffle on the document stream."""
+    import ray
+
+    counts_ref = ray.put(_corpus_token_counts(sf_dir))
+
+    class Score:
+        def __init__(self, ref):
+            self.counts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            words = batch["text"].str.lower().str.findall(WS_RE)
+            lens = words.str.len().to_numpy(dtype=np.int64)
+            n = len(batch)
+            min_c = np.zeros(n, dtype=np.int64)
+            sum_c = np.zeros(n, dtype=np.int64)
+            if lens.sum():
+                flat = pd.Series(np.concatenate(
+                    [np.asarray(w, dtype=object) for w in words if len(w)]
+                ).astype(str))
+                c = flat.map(self.counts).to_numpy(dtype=np.int64)
+                offsets = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                ne = lens > 0
+                min_c[ne] = np.minimum.reduceat(c, offsets[ne])
+                sum_c[ne] = np.add.reduceat(c, offsets[ne])
+            avg_c = np.where(lens > 0, sum_c // np.maximum(lens, 1), 0)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": lens,
+                "min_tok_count": min_c,
+                "avg_tok_count": avg_c.astype(np.int64),
+            })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score, fn_constructor_kwargs={"ref": counts_ref},
+        batch_format="pandas", concurrency=_pool())
+
+
+TOKEN_RARITY_SCORES_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM words GROUP BY w
+), per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         MIN(c) AS min_tok_count,
+         SUM(c) // COUNT(*) AS avg_tok_count
+  FROM words JOIN cnt USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.min_tok_count, 0) AS BIGINT) AS min_tok_count,
+       CAST(COALESCE(per.avg_tok_count, 0) AS BIGINT) AS avg_tok_count
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: top bigrams by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+PMI_K = 20
+PMI_MIN_COUNT = 5
+
+
+def pmi_bigram_topk(sf_dir: str, k: int = PMI_K,
+                    min_count: int = PMI_MIN_COUNT):
+    """Top-K collocations by integer PMI — ``bigram_topk`` ranks by raw
+    count (dominated by stopword pairs); PMI ranks by association
+    strength, the standard phrase-mining signal. Score is exact
+    arbitrary-precision integer arithmetic (Python int on the folded
+    table, HUGEINT in SQL): ``pmi_ppm = ⌊10^6·T·c(ab) / (c(a)·c(b))⌋``
+    over whitespace tokens, bigrams with ``c(ab) ≥ min_count``.
+
+    Scale shape: (1) unigram counts fold exactly like ``top_tokens`` and
+    broadcast (vocabulary-bounded small side); (2) bigram partials
+    pre-aggregate per batch, then ONE keyed exchange on (l, r) — the
+    min-count filter needs global counts so no lossy pre-prune, but the
+    exchange still moves ≤|block bigram vocab| rows per block; (3) the
+    PMI compute + local top-k run per block (lossless rank pre-prune:
+    global top-k ⊆ union of block top-k) so the final sort sees
+    ≤ k×blocks rows. The exact-int math runs only on the ≥min_count
+    folded table, never per occurrence."""
+    import ray
+
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    uni = _corpus_token_counts(sf_dir)
+    total = sum(uni.values())
+    uni_ref = ray.put(uni)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l": pd.Series([], dtype="object"),
+                              "r": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64")})
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        tot = int(lens.sum())
+        if tot < 2:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words if len(w)])
+        ends = np.cumsum(lens[lens > 0])
+        valid = np.ones(tot - 1, dtype=bool)
+        valid[ends[:-1] - 1] = False
+        if not valid.any():
+            return empty
+        left = flat[:-1][valid].astype(str)
+        right = flat[1:][valid].astype(str)
+        # one np.unique over the joined pair key, then split back — the
+        # separator cannot appear inside \S+ tokens
+        pair, cnt = np.unique(np.char.add(np.char.add(left, " "), right),
+                              return_counts=True)
+        lr = np.char.partition(pair, " ")
+        return pd.DataFrame({"l": lr[:, 0], "r": lr[:, 2],
+                             "n": cnt.astype(np.int64)})
+
+    class Fold:
+        def __init__(self, ref, total_tokens: int, k: int, min_count: int):
+            self.uni = ray.get(ref)
+            self.total = total_tokens
+            self.k = k
+            self.min_count = min_count
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                  "pmi_ppm": pd.Series([], dtype="int64"),
+                                  "n": pd.Series([], dtype="int64")})
+            if df.empty:
+                return empty
+            g = df.groupby(["l", "r"], as_index=False)["n"].sum()
+            g = g[g["n"] >= self.min_count]
+            if g.empty:
+                return empty
+            # exact big-int PMI on the folded, thresholded table only:
+            # 10^6·T·c(ab) can pass 2^63 at web scale, so Python ints
+            # here and HUGEINT in the oracle; the final column is BIGINT
+            # (asserted) — a >2^63 ppm means c(a)=c(b)=c(ab)=min_count
+            # at T>9e12, loud not wrong
+            ca = g["l"].map(self.uni).astype(object)
+            cb = g["r"].map(self.uni).astype(object)
+            num = g["n"].astype(object) * (1_000_000 * self.total)
+            pmi = (num // (ca * cb)).map(int)
+            out = pd.DataFrame({
+                "bigram": g["l"].astype(str) + " " + g["r"].astype(str),
+                "pmi_ppm": pmi.astype("int64"),
+                "n": g["n"].astype("int64"),
+            })
+            return (out.sort_values(["pmi_ppm", "bigram"],
+                                    ascending=[False, True], kind="stable")
+                    .head(self.k))
+
+    ds = _read_docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pandas")
+    folded = repartition_by_key(ds, ["l", "r"]).map_batches(
+        Fold, fn_constructor_kwargs={
+            "ref": uni_ref, "total_tokens": total, "k": k,
+            "min_count": min_count},
+        batch_format="pandas", batch_size=None, concurrency=_pool())
+    return folded.sort(["pmi_ppm", "bigram"],
+                       descending=[True, False]).limit(k)
+
+
+PMI_BIGRAM_TOPK_SQL = f"""
+WITH ws AS (
+  SELECT regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+), bg AS (
+  SELECT ws[i] AS l, ws[i + 1] AS r
+  FROM ws, unnest(range(1, len(ws))) AS t(i)
+), bc AS (
+  SELECT l, r, COUNT(*) AS c_ab FROM bg GROUP BY l, r
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+), uc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+        FROM documents) GROUP BY w
+), tot AS (SELECT COUNT(*) AS t
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+'))
+                 FROM documents))
+SELECT bc.l || ' ' || bc.r AS bigram,
+       CAST(CAST(1000000 AS HUGEINT) * tot.t * bc.c_ab
+            // (ul.c * ur.c) AS BIGINT) AS pmi_ppm,
+       CAST(bc.c_ab AS BIGINT) AS n
+FROM bc JOIN uc ul ON ul.w = bc.l JOIN uc ur ON ur.w = bc.r CROSS JOIN tot
+ORDER BY pmi_ppm DESC, bigram ASC LIMIT {PMI_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sharded training export: deterministic hash shards + per-shard manifest
+# ---------------------------------------------------------------------------
+
+EXPORT_SHARDS = 8
+
+
+def export_training_shards(sf_dir: str, n_shards: int = EXPORT_SHARDS):
+    """Write the corpus as ``n_shards`` deterministic hash shards (one
+    directory per shard, Knuth-hash assignment so the layout is
+    reproducible across runs, engines and cluster sizes) and return the
+    per-shard manifest ``(shard, n_docs, n_tokens, n_chars)`` — the
+    training-export step that feeds a data loader expecting balanced,
+    restartable shard dirs.
+
+    Scale shape: shard tag + token count are one stateless vectorized
+    pass; ONE keyed exchange on ``shard`` co-locates each shard; every
+    block stages its rows as an own-named parquet part under the shard
+    dir (the CDC staged-parts recipe — a retried task can only leave an
+    orphan part, never a double-counted manifest row, because exactly
+    one task attempt's OUTPUT is consumed downstream; production flows
+    commit the manifest through the commit log, state/commitlog.py).
+    The manifest fold is ≤ n_shards rows. Output dirs live under the
+    scratch root (GRAFT_TMP); per-shard dirs are the resume unit."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    from rfb_cnpj_etl_ray.scratch import scratch_dir
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    out_root = scratch_dir("train_shards", sf_dir)
+    shutil.rmtree(out_root, ignore_errors=True)
+    out_root.mkdir(parents=True, exist_ok=True)
+    root_str = str(out_root)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = (knuth_hash(df["doc_id"].to_numpy())
+                       % n_shards).astype("int64")
+        df["n_tok"] = df["text"].str.count(WS_RE).astype("int64")
+        return df
+
+    def write_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                              "n_docs": pd.Series([], dtype="int64"),
+                              "n_tokens": pd.Series([], dtype="int64"),
+                              "n_chars": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        rows = []
+        # ≤ n_shards groups per block (shard-keyed exchange upstream);
+        # per-group work is a columnar parquet write, not row Python
+        for shard, g in df.groupby("shard", sort=True):
+            d = Path(root_str) / f"shard={int(shard)}"
+            d.mkdir(parents=True, exist_ok=True)
+            _pq.write_table(
+                pa.Table.from_pandas(g[["doc_id", "text"]],
+                                     preserve_index=False),
+                d / f"part-{uuid.uuid4().hex}.parquet",
+                compression="zstd")
+            rows.append((int(shard), len(g), int(g["n_tok"].sum()),
+                         int(g["n_chars"].sum())))
+        return pd.DataFrame(rows, columns=["shard", "n_docs", "n_tokens",
+                                           "n_chars"]).astype("int64")
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+    tagged = docs.map_batches(tag, batch_format="pandas")
+    # the per-block manifest rows ARE global: repartition_by_key's
+    # contract (one key never spans two blocks — the same invariant the
+    # LWW merge and every keyed fold in the engine lean on) means each
+    # shard appears in exactly one block's output row
+    return repartition_by_key(tagged, ["shard"]).map_batches(
+        write_and_count, batch_format="pandas", batch_size=None)
+
+
+EXPORT_TRAINING_SHARDS_SQL = f"""
+SELECT {KNUTH_HASH_SQL.format(col='doc_id')} % {EXPORT_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
 """

@@ -18,7 +18,31 @@ ORACLE_CASES = [
     (D.exact_dedup, D.EXACT_DEDUP_SQL),
     (D.jaccard_block_pairs, D.JACCARD_BLOCK_PAIRS_SQL),
     (S.ann_topk, S.ANN_TOPK_SQL),
+    (T.token_rarity_scores, T.TOKEN_RARITY_SCORES_SQL),
+    (T.pmi_bigram_topk, T.PMI_BIGRAM_TOPK_SQL),
+    (T.export_training_shards, T.EXPORT_TRAINING_SHARDS_SQL),
 ]
+
+
+def test_export_shards_files_cover_corpus_exactly_once(ray_session):
+    """The sharded export's on-disk layout (not just its manifest) must
+    hold every doc exactly once, in the shard its hash names."""
+    import pyarrow.parquet as pq
+
+    from rfb_cnpj_etl_ray.scratch import scratch_dir
+
+    to_pandas(T.export_training_shards(SF_DIR))  # run the export
+    root = scratch_dir("train_shards", SF_DIR)
+    parts = []
+    for f in sorted(root.glob("shard=*/part-*.parquet")):
+        df = pq.read_table(f).to_pandas()
+        df["dir_shard"] = int(f.parent.name.split("=")[1])
+        parts.append(df)
+    out = pd.concat(parts, ignore_index=True)
+    src = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert sorted(out["doc_id"]) == sorted(src["doc_id"])
+    expect = T.knuth_hash(out["doc_id"].to_numpy()) % T.EXPORT_SHARDS
+    assert (out["dir_shard"].to_numpy() == expect).all()
 
 
 @pytest.mark.parametrize("fn,sql", ORACLE_CASES, ids=[c[0].__name__ for c in ORACLE_CASES])

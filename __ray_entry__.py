@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity_scores": T.token_rarity_scores,
         "pmi_bigram_topk": T.pmi_bigram_topk,
         "export_training_shards": T.export_training_shards,
+        # random-hyperplane LSH over quantized embeddings + exact
+        # integer verify — the unblocked scale path for embedding
+        # near-dup (NEW this round, so in-window)
+        "embedding_lsh_near_dup": D.embedding_lsh_near_dup,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -351,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity_scores": T.TOKEN_RARITY_SCORES_SQL,
         "pmi_bigram_topk": T.PMI_BIGRAM_TOPK_SQL,
         "export_training_shards": T.EXPORT_TRAINING_SHARDS_SQL,
+        "embedding_lsh_near_dup": D.EMBEDDING_LSH_NEAR_DUP_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

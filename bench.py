@@ -87,6 +87,8 @@ QUERY_NAMES = [
     "token_rarity_scores",
     "pmi_bigram_topk",
     "export_training_shards",
+    # hyperplane-LSH embedding near-dup (integer-exact verify)
+    "embedding_lsh_near_dup",
 ]
 
 

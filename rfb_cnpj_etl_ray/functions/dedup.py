@@ -765,6 +765,202 @@ WHERE list_cosine_similarity(a.embedding, b.embedding)
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup at scale: random-hyperplane LSH + exact integer verify
+# ---------------------------------------------------------------------------
+
+EMB_LSH_PLANES = 64      # P hyperplanes = EMB_LSH_BANDS bands × EMB_LSH_R bits
+EMB_LSH_BANDS = 16
+EMB_LSH_R = 4
+_EMB_Q = 1_000_000       # quantization: q = floor(x · 10^6), cross-engine exact
+#: cosine threshold 3/10 as an exact fraction → t² = 9/100; the verify
+#: inequality dot²·100 ≥ 9·‖a‖²·‖b‖² is pure integer arithmetic, so both
+#: engines accept the IDENTICAL pair set (no float boundary anywhere)
+_EMB_T2_NUM = 9
+_EMB_T2_DEN = 100
+_EMB_PLANE_STRIDE = 4096
+_EMB_PAIR_CHUNK = 1 << 15   # pairs per verify chunk: 2 gathers × 64 dims
+                            # × 8 B ≈ 33 MB peak, independent of bucket size
+
+
+def _plane_signs(dim: int, planes: int = EMB_LSH_PLANES) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix, shape (dim, planes): the sign
+    of plane p in dimension d is bit 16 of knuth_hash(p·4096 + d). A MID
+    bit — bit 0 of a multiplicative hash is just the seed's parity, so
+    it would make every plane's signs alternate in lockstep."""
+    from rfb_cnpj_etl_ray.functions.text import knuth_hash
+
+    p, d = np.meshgrid(np.arange(planes), np.arange(dim), indexing="ij")
+    h = knuth_hash((p * _EMB_PLANE_STRIDE + d).ravel())
+    return (((h >> 16) & 1) * 2 - 1).reshape(planes, dim).T.astype(np.int64)
+
+
+class _EmbCoder:
+    """Quantize + band-code one batch of embeddings. The plane matrix is
+    built once per actor from the first batch's dim (the build is a pure
+    function of (dim, planes), so every actor derives the same matrix —
+    broadcast-free determinism)."""
+
+    def __init__(self):
+        self.S = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * _EMB_Q).astype(np.int64)
+        if self.S is None:
+            self.S = _plane_signs(q.shape[1])
+        bits = (q @ self.S) >= 0                                # (n, P)
+        w = 1 << np.arange(EMB_LSH_R, dtype=np.int64)
+        codes = bits.reshape(len(q), EMB_LSH_BANDS, EMB_LSH_R) @ w
+        n = len(q)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        # band-major layout so the replicated q column is a cheap list
+        # repeat (array REFERENCES, not copies — Arrow materializes the
+        # list column once at block build)
+        return pd.DataFrame({
+            "band": np.repeat(np.arange(EMB_LSH_BANDS, dtype=np.int64), n),
+            "band_key": codes.T.ravel().astype(np.int64),
+            "doc_id": np.tile(ids, EMB_LSH_BANDS),
+            "q": list(q) * EMB_LSH_BANDS,
+        })
+
+
+def embedding_lsh_near_dup(sf_dir: str):
+    """Embedding near-duplicate pairs (cosine ≥ 3/10) via random-
+    hyperplane LSH — the UNBLOCKED scale path next to the label-blocked
+    ``embedding_near_dup``: no label partition, no N×N matmul, no
+    broadcast; candidate volume is bounded by the band buckets.
+
+    Shape: one stateless coding pass (quantize → 64 sign bits → 16
+    band codes of 4 bits; the hyperplanes are a deterministic hash
+    formula, derived per actor, nothing shipped) → ONE keyed exchange
+    on (band, code) — each vector's 64-dim quantized form rides along
+    (8 KB/vec replicated ×16 bands, the standard LSH carry cost) →
+    per-block in-bucket verify: int64 matmul for the exact quantized
+    dot products, then the threshold test dot²·100 ≥ 9·‖a‖²·‖b‖² in
+    arbitrary-precision ints (needs 92 bits; big-int math runs ONLY on
+    in-bucket candidate pairs, never per dimension) → packed-pair sort
+    (range exchange) for the cross-band global dedup, same machinery as
+    MinHash. Recall at cos ≥ 0.3 with 16 bands × 4 bits ≈ 0.89
+    (1−(1−p⁴)^16, p = 1−acos(t)/π); EMB_LSH_R scales with log(corpus)
+    to keep buckets bounded — 4 bits fits the test corpus, a 100 TB run
+    raises R (and bands) rather than bucket size. Everything is integer-
+    exact, so the DuckDB oracle reconstructs the IDENTICAL pair set."""
+    from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
+
+    ds = _read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"]).map_batches(
+        _EmbCoder, batch_format="pandas", concurrency=_pool())
+
+    def block_verified(df: pd.DataFrame):
+        empty = pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                              "cos2_ppm": pd.Series([], dtype="int64")})
+        if df.empty:
+            yield empty
+            return
+        df, a_idx, b_idx = _bucket_pair_indices(df)
+        if not len(a_idx):
+            yield empty
+            return
+        ids = df["doc_id"].to_numpy()
+        Q = np.stack(df["q"].to_numpy()).astype(np.int64)
+        na2 = (Q * Q).sum(axis=1)
+        out_pairs, out_cos2 = [], []
+        for lo in range(0, len(a_idx), _EMB_PAIR_CHUNK):
+            ia = a_idx[lo: lo + _EMB_PAIR_CHUNK]
+            ib = b_idx[lo: lo + _EMB_PAIR_CHUNK]
+            dot = (Q[ia] * Q[ib]).sum(axis=1)      # int64-exact ≤ 6.4e13
+            pos = dot > 0                          # also drops zero vectors
+            if not pos.any():
+                continue
+            ia, ib, dot = ia[pos], ib[pos], dot[pos]
+            # 92-bit products: object ints on the candidate pairs only
+            d_o = dot.astype(object)
+            rhs = na2[ia].astype(object) * na2[ib].astype(object)
+            ok = (d_o * d_o * _EMB_T2_DEN >= _EMB_T2_NUM * rhs
+                  ).astype(bool)
+            if not ok.any():
+                continue
+            cos2 = np.fromiter(
+                (int(x) for x in
+                 (d_o[ok] * d_o[ok] * 1_000_000 // rhs[ok])),
+                dtype=np.int64, count=int(ok.sum()))
+            out_pairs.append(_pack_pairs(ids, ia[ok], ib[ok]))
+            out_cos2.append(cos2)
+        if not out_pairs:
+            yield empty
+            return
+        yield from _yield_chunks(pd.DataFrame({
+            "pair": np.concatenate(out_pairs),
+            "cos2_ppm": np.concatenate(out_cos2)}))
+
+    pairs = repartition_by_key(ds, ["band", "band_key"]).map_batches(
+        block_verified, batch_format="pandas", batch_size=None)
+
+    def unpack_block(df: pd.DataFrame) -> pd.DataFrame:
+        # equal packed keys co-locate after the sort (range exchange,
+        # pinned by tests/test_range_exchange.py); a pair's cos2_ppm is
+        # identical from every band that found it, so first-wins is exact
+        p = df["pair"].to_numpy()
+        up, idx = np.unique(p, return_index=True)
+        return pd.DataFrame({
+            "vec_a": up >> 32,
+            "vec_b": up & 0xFFFFFFFF,
+            "cos2_ppm": df["cos2_ppm"].to_numpy()[idx]})
+
+    return pairs.sort("pair").map_batches(
+        unpack_block, batch_format="pandas", batch_size=None)
+
+
+def _emb_lsh_sql() -> str:
+    from rfb_cnpj_etl_ray.functions.text import KNUTH_HASH_SQL
+
+    knuth = KNUTH_HASH_SQL.format(col=f"(p * {_EMB_PLANE_STRIDE} + d)")
+    return f"""
+WITH q AS (
+  SELECT vec_id, i AS d,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {_EMB_Q})
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+), planes AS (
+  SELECT p, d,
+         CASE WHEN ({knuth} // 65536) % 2 = 1 THEN 1 ELSE -1 END AS s
+  FROM unnest(range(0, {EMB_LSH_PLANES})) AS tp(p),
+       (SELECT DISTINCT d FROM q) AS td(d)
+), bits AS (
+  SELECT q.vec_id, planes.p,
+         CASE WHEN SUM(q.q * planes.s) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM q JOIN planes ON planes.d = q.d
+  GROUP BY q.vec_id, planes.p
+), codes AS (
+  SELECT vec_id, p // {EMB_LSH_R} AS band,
+         SUM(bit << (p % {EMB_LSH_R})) AS code
+  FROM bits GROUP BY vec_id, p // {EMB_LSH_R}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT c.va, c.vb,
+         SUM(CAST(qa.q AS HUGEINT) * qb.q) AS dot,
+         SUM(CAST(qa.q AS HUGEINT) * qa.q) AS na2,
+         SUM(CAST(qb.q AS HUGEINT) * qb.q) AS nb2
+  FROM cands c
+  JOIN q qa ON qa.vec_id = c.va
+  JOIN q qb ON qb.vec_id = c.vb AND qb.d = qa.d
+  GROUP BY c.va, c.vb
+)
+SELECT va AS vec_a, vb AS vec_b,
+       CAST(1000000 * dot * dot // (na2 * nb2) AS BIGINT) AS cos2_ppm
+FROM dots
+WHERE dot > 0
+  AND dot * dot * {_EMB_T2_DEN} >= {_EMB_T2_NUM} * na2 * nb2
+"""
+
+
+EMBEDDING_LSH_NEAR_DUP_SQL = _emb_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
 # n-gram (3-shingle) Jaccard pairs — the word-sequence-sensitive variant
 # ---------------------------------------------------------------------------
 

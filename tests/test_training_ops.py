@@ -21,6 +21,7 @@ ORACLE_CASES = [
     (T.token_rarity_scores, T.TOKEN_RARITY_SCORES_SQL),
     (T.pmi_bigram_topk, T.PMI_BIGRAM_TOPK_SQL),
     (T.export_training_shards, T.EXPORT_TRAINING_SHARDS_SQL),
+    (D.embedding_lsh_near_dup, D.EMBEDDING_LSH_NEAR_DUP_SQL),
 ]
 
 

@@ -716,10 +716,19 @@ def _nodes_dedup_child() -> None:
 
     import ray
 
+    # cluster_utils gives each simulated node a 150 MB object store by
+    # default — three orders of magnitude below any real cluster node,
+    # and small enough that a 32M-event leg lives in permanent
+    # spill/restore churn (measured: ingest 42 s under plain ray.init vs
+    # >30 min under the default-store harness). Size the store like a
+    # real node so the harness measures the pipeline, not plasma thrash.
+    node_store = int(os.environ.get("GRAFT_NODE_STORE", str(8 * 2**30)))
     cluster = Cluster()
-    cluster.add_node(num_cpus=cpus_per_node, include_dashboard=False)
+    cluster.add_node(num_cpus=cpus_per_node, include_dashboard=False,
+                     object_store_memory=node_store)
     for _ in range(n_nodes - 1):
-        cluster.add_node(num_cpus=cpus_per_node)
+        cluster.add_node(num_cpus=cpus_per_node,
+                         object_store_memory=node_store)
     ray.init(address=cluster.address, include_dashboard=False,
              logging_level="ERROR")
     import ray.data
@@ -803,10 +812,19 @@ def _multinode_child() -> None:
 
     import ray
 
+    # cluster_utils gives each simulated node a 150 MB object store by
+    # default — three orders of magnitude below any real cluster node,
+    # and small enough that a 32M-event leg lives in permanent
+    # spill/restore churn (measured: ingest 42 s under plain ray.init vs
+    # >30 min under the default-store harness). Size the store like a
+    # real node so the harness measures the pipeline, not plasma thrash.
+    node_store = int(os.environ.get("GRAFT_NODE_STORE", str(8 * 2**30)))
     cluster = Cluster()
-    cluster.add_node(num_cpus=cpus_per_node, include_dashboard=False)
+    cluster.add_node(num_cpus=cpus_per_node, include_dashboard=False,
+                     object_store_memory=node_store)
     for _ in range(n_nodes - 1):
-        cluster.add_node(num_cpus=cpus_per_node)
+        cluster.add_node(num_cpus=cpus_per_node,
+                         object_store_memory=node_store)
     ray.init(address=cluster.address, include_dashboard=False,
              logging_level="ERROR")
     import ray.data

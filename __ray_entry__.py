@@ -220,6 +220,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer verify — the unblocked scale path for embedding
         # near-dup (NEW this round, so in-window)
         "embedding_lsh_near_dup": D.embedding_lsh_near_dup,
+        # HyperLogLog approximate distinct (integer-exact registers →
+        # the constant-size-exchange twin of distinct_users_per_type)
+        # and fixed-bin histogram quantiles (the mergeable-sketch twin
+        # of quantity_quantiles for unbounded domains) — NEW, in-window
+        "hll_distinct_users": R.hll_distinct_users,
+        "token_length_histogram": T.token_length_histogram,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -356,6 +362,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigram_topk": T.PMI_BIGRAM_TOPK_SQL,
         "export_training_shards": T.EXPORT_TRAINING_SHARDS_SQL,
         "embedding_lsh_near_dup": D.EMBEDDING_LSH_NEAR_DUP_SQL,
+        "hll_distinct_users": R.HLL_DISTINCT_USERS_SQL,
+        "token_length_histogram": T.TOKEN_LENGTH_HISTOGRAM_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

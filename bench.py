@@ -89,6 +89,10 @@ QUERY_NAMES = [
     "export_training_shards",
     # hyperplane-LSH embedding near-dup (integer-exact verify)
     "embedding_lsh_near_dup",
+    # sketch family: HLL approximate distinct (constant-size exchange)
+    # + fixed-bin histogram quantiles (mergeable order statistics)
+    "hll_distinct_users",
+    "token_length_histogram",
 ]
 
 

@@ -1652,3 +1652,68 @@ SELECT {KNUTH_HASH_SQL.format(col='doc_id')} % {EXPORT_SHARDS} AS shard,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# histogram-sketch quantiles — the mergeable fixed-bin alternative to a
+# global sort for order statistics at 100 TB: every batch reduces to a
+# ≤ |source|×bins count vector, one coalesce folds them, and the
+# quantile answer is the lower edge of the bin holding the ceil(q·n)-th
+# element (exactly ``quantile_disc`` over the binned values, so a DuckDB
+# oracle pins it). Same family as ``quantity_quantiles`` (exact,
+# bounded-domain) but for UNBOUNDED domains where exactness needs a
+# sort: the sketch trades bin-width resolution for a constant-size
+# exchange. Ranks are computed in exact rational arithmetic (no q·n
+# float product).
+# ---------------------------------------------------------------------------
+
+_TOKLEN_BIN = 16
+_TOKLEN_QS = ((1, 2, "p50_lo"), (9, 10, "p90_lo"), (99, 100, "p99_lo"))
+
+
+def token_length_histogram(sf_dir: str):
+    """Per-source P50/P90/P99 of whitespace token count, answered from a
+    16-wide fixed-bin histogram (lower bin edge reported)."""
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_ws = df["text"].str.count(WS_RE).astype("int64")
+        part = pd.DataFrame({"source": df["source"],
+                             "bin": n_ws // _TOKLEN_BIN})
+        return part.groupby(["source", "bin"], as_index=False).agg(
+            cnt=("bin", "size"))
+
+    partials = _read_docs(sf_dir, ["source", "text"]).map_batches(
+        bin_partial, batch_format="pandas")
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        folded = df.groupby(["source", "bin"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        rows = []
+        for src, g in folded.groupby("source", sort=True):
+            g = g.sort_values("bin", kind="stable")
+            cum = g["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            bins = g["bin"].to_numpy()
+            picks = [int(bins[np.searchsorted(
+                cum, -(-num * n // den))]) * _TOKLEN_BIN
+                for num, den, _ in _TOKLEN_QS]
+            rows.append((src, *picks))
+        return pd.DataFrame(
+            rows, columns=["source"] + [name for _, _, name in _TOKLEN_QS])
+
+    return partials.repartition(1).map_batches(
+        quantiles, batch_format="pandas", batch_size=None)
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{WS_RE}')) // {_TOKLEN_BIN} AS bin
+  FROM documents
+)
+SELECT source,
+       CAST(quantile_disc(bin, 0.50) * {_TOKLEN_BIN} AS BIGINT) AS p50_lo,
+       CAST(quantile_disc(bin, 0.90) * {_TOKLEN_BIN} AS BIGINT) AS p90_lo,
+       CAST(quantile_disc(bin, 0.99) * {_TOKLEN_BIN} AS BIGINT) AS p99_lo
+FROM t GROUP BY source
+"""

@@ -1560,3 +1560,129 @@ SELECT cohort, CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset,
 FROM act JOIN f USING (user_id)
 GROUP BY cohort, day_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct — HyperLogLog registers (Flajolet et al. 2007), the
+# bounded-exchange scale path next to exact ``distinct_users_per_type``:
+# the exact op's exchange moves every (type, user) pair once; this one
+# moves ≤ |event_type|×256 register rows PER BLOCK no matter how many
+# events flow (at 100 TB the exact distinct is a full all-to-all on the
+# user key; the sketch is a constant-size fold). Everything is integer
+# arithmetic on the same Knuth 32-bit hash the ANN family uses, so a
+# DuckDB oracle reconstructs the registers — and hence the estimate —
+# bit-for-bit (no fp in the pipeline; alpha is a ppm-scaled constant).
+# ---------------------------------------------------------------------------
+
+_HLL_BUCKETS = 256          # m = 2^8 registers per group
+_HLL_WBITS = 24             # 32-bit hash minus 8 bucket bits
+_HLL_ALPHA_PPM = 718272     # floor(1e6 * 0.7213 / (1 + 1.079/256))
+_HLL_LC_BOUND = 5 * _HLL_BUCKETS // 2   # linear counting below 2.5·m
+
+# small-range (linear-counting) table: round(m·ln(m/V)) for V zero
+# registers, precomputed ONCE in Python so no transcendental float is
+# ever evaluated inside either engine — the SQL oracle embeds the same
+# integers verbatim (a VALUES relation), keeping the comparison
+# libm-independent.
+import math as _math
+
+_HLL_LC_TABLE = {
+    v: int(round(_HLL_BUCKETS * _math.log(_HLL_BUCKETS / v)))
+    for v in range(1, _HLL_BUCKETS + 1)
+}
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for non-negative int64 (no log2 fp)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.astype(np.int64).copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.int64(1) << shift)
+        bl[big] += shift
+        v[big] >>= shift
+    return bl + (w > 0)
+
+
+def hll_distinct_users(sf_dir: str):
+    """Approximate ``COUNT(DISTINCT user_id)`` per event_type via m=256
+    HyperLogLog registers. Per batch: Knuth hash → (bucket, rank of
+    leading 1 in the remaining 24 bits) → per-(type, bucket) max — a
+    ≤ |types|×256-row partial regardless of batch size. One coalesce +
+    pandas max-fold finishes the registers; the raw estimate
+    floor(alpha·m²·2^25 / Σ 2^(-M_j)·2^25) is computed in exact integer
+    math, with the standard small-range correction (linear counting
+    m·ln(m/V) when raw ≤ 2.5·m and V>0 registers are zero) read from a
+    precomputed integer table shared verbatim with the SQL oracle."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def register_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["user_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        bucket = (h & np.uint64(_HLL_BUCKETS - 1)).astype(np.int64)
+        w = (h >> np.uint64(8)).astype(np.int64)
+        rnk = (_HLL_WBITS + 1) - _bit_length_u64(w)  # w=0 -> 25
+        part = pd.DataFrame({"event_type": df["event_type"],
+                             "bucket": bucket, "rnk": rnk})
+        return part.groupby(["event_type", "bucket"], as_index=False).agg(
+            rnk=("rnk", "max"))
+
+    partials = ds.map_batches(
+        register_partial, batch_format="pandas")
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        reg = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            rnk=("rnk", "max"))
+        rows = []
+        top = np.int64(1) << _HLL_WBITS  # 2^24 == a zero register's term
+        for etype, g in reg.groupby("event_type", sort=True):
+            sum_scaled = int(
+                (np.int64(1) << (_HLL_WBITS - g["rnk"].to_numpy(np.int64) + 1)
+                 ).sum()) + (_HLL_BUCKETS - len(g)) * int(top) * 2
+            # NB: rank r contributes 2^-r, scaled by 2^25 -> 2^(25-r);
+            # an absent bucket is register 0 -> 2^25 scaled.
+            est = (_HLL_ALPHA_PPM * _HLL_BUCKETS * _HLL_BUCKETS
+                   * (int(top) * 2)) // (sum_scaled * 1_000_000)
+            zeros = _HLL_BUCKETS - len(g)
+            if zeros > 0 and est <= _HLL_LC_BOUND:
+                est = _HLL_LC_TABLE[zeros]
+            rows.append((etype, est))
+        return pd.DataFrame(rows, columns=["event_type", "hll_estimate"])
+
+    return partials.repartition(1).map_batches(
+        estimate, batch_format="pandas", batch_size=None)
+
+
+_HLL_LC_VALUES = ", ".join(
+    f"({v}, {est})" for v, est in _HLL_LC_TABLE.items())
+
+HLL_DISTINCT_USERS_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(CAST(user_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+           AS h
+  FROM events
+), rk AS (
+  SELECT event_type, h % 256 AS bucket,
+         CASE WHEN h // 256 = 0 THEN 25
+              ELSE 25 - length(bin(h // 256)) END AS rnk
+  FROM h
+), reg AS (
+  SELECT event_type, bucket, MAX(rnk) AS rnk FROM rk GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         SUM(CAST(1 AS HUGEINT) << (25 - rnk)) AS sum_scaled,
+         COUNT(*) AS nonzero
+  FROM reg GROUP BY 1
+), raw AS (
+  SELECT event_type, 256 - nonzero AS zeros,
+         CAST(CAST(718272 AS HUGEINT) * 256 * 256 * 33554432
+              // ((sum_scaled + (256 - nonzero) * CAST(33554432 AS HUGEINT))
+                  * 1000000) AS BIGINT) AS raw_est
+  FROM s
+)
+SELECT r.event_type,
+       CAST(CASE WHEN r.zeros > 0 AND r.raw_est <= {_HLL_LC_BOUND}
+                 THEN lc.est ELSE r.raw_est END AS BIGINT) AS hll_estimate
+FROM raw r
+LEFT JOIN (VALUES {_HLL_LC_VALUES}) AS lc(v, est) ON lc.v = r.zeros
+"""

@@ -9,6 +9,7 @@ from rfb_cnpj_etl_ray.functions import dedup as D
 from rfb_cnpj_etl_ray.functions import multimodal as M
 from rfb_cnpj_etl_ray.functions import similarity as S
 from rfb_cnpj_etl_ray.functions import text as T
+from rfb_cnpj_etl_ray.pipelines import relational as R
 from tests.conftest import SF_DIR
 from tests.util_compare import assert_query_matches, normalize, to_pandas
 
@@ -22,6 +23,8 @@ ORACLE_CASES = [
     (T.pmi_bigram_topk, T.PMI_BIGRAM_TOPK_SQL),
     (T.export_training_shards, T.EXPORT_TRAINING_SHARDS_SQL),
     (D.embedding_lsh_near_dup, D.EMBEDDING_LSH_NEAR_DUP_SQL),
+    (R.hll_distinct_users, R.HLL_DISTINCT_USERS_SQL),
+    (T.token_length_histogram, T.TOKEN_LENGTH_HISTOGRAM_SQL),
 ]
 
 
@@ -506,3 +509,33 @@ def test_minhash_family_mega_duplicate_cluster(ray_session, tmp_path):
     assert len(pairs) == n * (n - 1) // 2
     groups = to_pandas(D.minhash_dedup_groups(sf))
     assert set(groups["group_id"]) == {0}
+
+
+def test_hll_estimate_near_exact_distinct(ray_session):
+    """m=256 registers -> ~6.5% standard error; assert the sketch lands
+    within 25% of the exact per-type distinct count (and is positive)."""
+    approx = normalize(to_pandas(R.hll_distinct_users(SF_DIR)))
+    exact = normalize(to_pandas(R.distinct_users_per_type(SF_DIR)))
+    m = approx.merge(exact, on="event_type")
+    assert len(m) == len(exact)
+    rel = (m["hll_estimate"] - m["n_users"]).abs() / m["n_users"]
+    assert (m["hll_estimate"] > 0).all()
+    assert float(rel.max()) < 0.25, m.to_string()
+
+
+def test_token_length_histogram_invariants(ray_session):
+    """Quantile edges are 16-multiples, monotone, and bracket the true
+    per-source whitespace-token-count order statistics within one bin."""
+    out = normalize(to_pandas(T.token_length_histogram(SF_DIR)))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    docs["n_ws"] = docs["text"].str.count(r"\S+")
+    for _, row in out.iterrows():
+        lows = [row["p50_lo"], row["p90_lo"], row["p99_lo"]]
+        assert all(v % 16 == 0 for v in lows)
+        assert lows[0] <= lows[1] <= lows[2]
+        g = docs.loc[docs["source"] == row["source"], "n_ws"].sort_values()
+        n = len(g)
+        for q_idx, (num, den) in enumerate(((1, 2), (9, 10), (99, 100))):
+            true_val = int(g.iloc[-(-num * n // den) - 1])
+            assert lows[q_idx] <= true_val < lows[q_idx] + 16

@@ -1612,7 +1612,11 @@ def hll_distinct_users(sf_dir: str):
     floor(alpha·m²·2^25 / Σ 2^(-M_j)·2^25) is computed in exact integer
     math, with the standard small-range correction (linear counting
     m·ln(m/V) when raw ≤ 2.5·m and V>0 registers are zero) read from a
-    precomputed integer table shared verbatim with the SQL oracle."""
+    precomputed integer table shared verbatim with the SQL oracle.
+    No large-range correction: with a 32-bit hash it only matters past
+    ~2^32/30 ≈ 143M distinct PER GROUP — swap in a 64-bit hash (and
+    _HLL_WBITS=56) before that regime, the register algebra is
+    unchanged."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def register_partial(df: pd.DataFrame) -> pd.DataFrame:

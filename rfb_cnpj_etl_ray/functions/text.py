@@ -550,9 +550,14 @@ def knuth_hash(ids) -> "np.ndarray":
 
 
 #: the SQL twin of ``knuth_hash`` — HUGEINT keeps the product exact
-#: where a BIGINT multiply would raise on large ids
-KNUTH_HASH_SQL = (f"CAST(CAST({{col}} AS HUGEINT) * {_SAMPLE_MULT} "
-                  f"% {_SAMPLE_MOD} AS BIGINT)")
+#: where a BIGINT multiply would raise on large ids; the +2^32 re-mod
+#: makes the result the MATHEMATICAL (non-negative) residue, matching
+#: numpy's uint64 wrap even for negative ids (SQL ``%`` is truncated
+#: toward zero, so a bare ``id * K % 2^32`` would go negative there
+#: while numpy never does — identical output for all ids ≥ 0)
+KNUTH_HASH_SQL = (f"CAST((CAST({{col}} AS HUGEINT) * {_SAMPLE_MULT} "
+                  f"% {_SAMPLE_MOD} + {_SAMPLE_MOD}) % {_SAMPLE_MOD} "
+                  f"AS BIGINT)")
 
 
 def stratified_sample(sf_dir: str, k: int = STRATA_K):

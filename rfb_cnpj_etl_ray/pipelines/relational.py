@@ -21,6 +21,8 @@ BOTH sides so value-hashes are insensitive to summation order.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1569,8 +1571,9 @@ GROUP BY cohort, day_offset
 # moves ≤ |event_type|×256 register rows PER BLOCK no matter how many
 # events flow (at 100 TB the exact distinct is a full all-to-all on the
 # user key; the sketch is a constant-size fold). Everything is integer
-# arithmetic on the same Knuth 32-bit hash the ANN family uses, so a
-# DuckDB oracle reconstructs the registers — and hence the estimate —
+# arithmetic: the shared ``knuth_hash`` (same helper the sampler/ANN
+# family imports) followed by a murmur3 fmix32 finalizer, so a DuckDB
+# oracle reconstructs the registers — and hence the estimate —
 # bit-for-bit (no fp in the pipeline; alpha is a ppm-scaled constant).
 # ---------------------------------------------------------------------------
 
@@ -1584,10 +1587,8 @@ _HLL_LC_BOUND = 5 * _HLL_BUCKETS // 2   # linear counting below 2.5·m
 # ever evaluated inside either engine — the SQL oracle embeds the same
 # integers verbatim (a VALUES relation), keeping the comparison
 # libm-independent.
-import math as _math
-
 _HLL_LC_TABLE = {
-    v: int(round(_HLL_BUCKETS * _math.log(_HLL_BUCKETS / v)))
+    v: int(round(_HLL_BUCKETS * math.log(_HLL_BUCKETS / v)))
     for v in range(1, _HLL_BUCKETS + 1)
 }
 
@@ -1601,6 +1602,22 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
         bl[big] += shift
         v[big] >>= shift
     return bl + (w > 0)
+
+
+def _fmix32(h: np.ndarray) -> np.ndarray:
+    """murmur3's 32-bit finalizer — full-avalanche bit diffusion. The
+    Knuth multiply alone is only a bijection: sequential/strided ids
+    leave its low output bits linearly structured, which starves the
+    HLL rank statistic (a strided corpus under-estimated 3× before
+    this). Pure xor/shift/mul-mod-2^32 integer ops, so the SQL oracle
+    reproduces it exactly (DuckDB xor() + >> + HUGEINT multiply)."""
+    h = h.astype(np.uint64)
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(2246822507)) % np.uint64(1 << 32)   # 0x85ebca6b
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(3266489909)) % np.uint64(1 << 32)   # 0xc2b2ae35
+    h ^= h >> np.uint64(16)
+    return h.astype(np.int64)
 
 
 def hll_distinct_users(sf_dir: str):
@@ -1620,10 +1637,11 @@ def hll_distinct_users(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def register_partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df["user_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(1 << 32)
-        bucket = (h & np.uint64(_HLL_BUCKETS - 1)).astype(np.int64)
-        w = (h >> np.uint64(8)).astype(np.int64)
+        from rfb_cnpj_etl_ray.functions.text import knuth_hash
+
+        h = _fmix32(knuth_hash(df["user_id"].to_numpy()))
+        bucket = h >> _HLL_WBITS
+        w = h & ((np.int64(1) << _HLL_WBITS) - 1)
         rnk = (_HLL_WBITS + 1) - _bit_length_u64(w)  # w=0 -> 25
         part = pd.DataFrame({"event_type": df["event_type"],
                              "bucket": bucket, "rnk": rnk})
@@ -1659,16 +1677,29 @@ def hll_distinct_users(sf_dir: str):
 _HLL_LC_VALUES = ", ".join(
     f"({v}, {est})" for v, est in _HLL_LC_TABLE.items())
 
+from rfb_cnpj_etl_ray.functions.text import KNUTH_HASH_SQL as _KNUTH_SQL
+
 HLL_DISTINCT_USERS_SQL = f"""
-WITH h AS (
+WITH k AS (
+  SELECT event_type, {_KNUTH_SQL.format(col="user_id")} AS h FROM events
+), m1 AS (  -- murmur3 fmix32, the exact twin of _fmix32
+  SELECT event_type, xor(h, h >> 16) AS h FROM k
+), m2 AS (
   SELECT event_type,
-         CAST(CAST(user_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
-           AS h
-  FROM events
+         CAST(CAST(h AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS h
+  FROM m1
+), m3 AS (
+  SELECT event_type, xor(h, h >> 13) AS h FROM m2
+), m4 AS (
+  SELECT event_type,
+         CAST(CAST(h AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS h
+  FROM m3
+), h AS (
+  SELECT event_type, xor(h, h >> 16) AS h FROM m4
 ), rk AS (
-  SELECT event_type, h % 256 AS bucket,
-         CASE WHEN h // 256 = 0 THEN 25
-              ELSE 25 - length(bin(h // 256)) END AS rnk
+  SELECT event_type, h // 16777216 AS bucket,
+         CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h % 16777216)) END AS rnk
   FROM h
 ), reg AS (
   SELECT event_type, bucket, MAX(rnk) AS rnk FROM rk GROUP BY 1, 2

@@ -539,3 +539,38 @@ def test_token_length_histogram_invariants(ray_session):
         for q_idx, (num, den) in enumerate(((1, 2), (9, 10), (99, 100))):
             true_val = int(g.iloc[-(-num * n // den) - 1])
             assert lows[q_idx] <= true_val < lows[q_idx] + 16
+
+
+def test_hll_survives_strided_and_negative_ids(ray_session, tmp_path):
+    """Regression (review): bucketing must come from the hash's mixed
+    high bits — strided id schemes (all multiples of 256) previously
+    collapsed into one bucket and linear-counted to ~1. Also pins the
+    negative-id path: numpy's uint64 wrap and the SQL oracle's
+    mathematical residue must agree."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 20_000
+    ids = np.arange(1, n + 1, dtype=np.int64) * 256   # strided
+    ids[::7] = -ids[::7]                              # negative mixed in
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array([0] * n, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(ids),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    sf = tmp_path / "sf_strided"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    for name in os.listdir(SF_DIR):
+        if name != "events.parquet" and name.endswith(".parquet"):
+            os.symlink(os.path.join(SF_DIR, name), sf / name)
+    assert_query_matches(R.hll_distinct_users, R.HLL_DISTINCT_USERS_SQL,
+                         str(sf))
+    out = normalize(to_pandas(R.hll_distinct_users(str(sf))))
+    est = int(out.loc[out["event_type"] == "click", "hll_estimate"].iloc[0])
+    assert abs(est - n) / n < 0.25, est

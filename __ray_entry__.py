@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of quantity_quantiles for unbounded domains) — NEW, in-window
         "hll_distinct_users": R.hll_distinct_users,
         "token_length_histogram": T.token_length_histogram,
+        # Count-Min frequency sketch (order-independent counter-grid
+        # merges — the sketch family member whose merge algebra works
+        # under nondeterministic block order, hence bit-exact oracle)
+        "cms_token_counts": T.cms_token_counts,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -364,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_near_dup": D.EMBEDDING_LSH_NEAR_DUP_SQL,
         "hll_distinct_users": R.HLL_DISTINCT_USERS_SQL,
         "token_length_histogram": T.TOKEN_LENGTH_HISTOGRAM_SQL,
+        "cms_token_counts": T.CMS_TOKEN_COUNTS_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

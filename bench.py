@@ -93,6 +93,7 @@ QUERY_NAMES = [
     # + fixed-bin histogram quantiles (mergeable order statistics)
     "hll_distinct_users",
     "token_length_histogram",
+    "cms_token_counts",
 ]
 
 

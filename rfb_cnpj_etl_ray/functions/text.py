@@ -1722,3 +1722,136 @@ SELECT source,
        CAST(quantile_disc(bin, 0.99) * {_TOKLEN_BIN} AS BIGINT) AS p99_lo
 FROM t GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch — the third sketch-family member: point
+# frequency estimates from a DEPTH×WIDTH counter grid whose merges are
+# elementwise sums (order-independent, unlike Misra-Gries/SpaceSaving,
+# which is why THIS sketch can carry a bit-exact cross-engine oracle
+# under Ray's nondeterministic block order). Exact `top_tokens` moves
+# |block vocabulary| rows per block through its exchange; the sketch
+# moves ≤ DEPTH×WIDTH (+|query|) counter rows per block at any corpus
+# size — the 100 TB path for "how often does token X appear". All
+# integer: the minhash family's code-point polynomial hash (bit-exact
+# SQL twin proven on non-ASCII) + pairwise (a·h+b) mod p mod W rows.
+# ---------------------------------------------------------------------------
+
+_CMS_PRIME = 2147483647            # 2^31-1, same modulus as the minhash fold
+_CMS_BASE = 131                    # same code-point polynomial base
+_CMS_WIDTH = 1024
+_CMS_PERMS = ((1103, 12345), (12289, 6789), (524287, 42), (8191, 9999))
+#: fixed query set: corpus-frequent terms + two stopwords that exist in
+#: the synthetic documents — a query list where most answers are
+#: non-zero actually exercises the counter grid (STOPWORDS are mostly
+#: absent from the word-soup corpus)
+_CMS_QUERY = ("join", "hash", "row", "batch", "scan", "column",
+              "filter", "merge", "the", "a")
+
+
+def _cms_word_hashes(words: np.ndarray) -> np.ndarray:
+    from rfb_cnpj_etl_ray.functions.dedup import _word_poly_hashes
+
+    return _word_poly_hashes(words, _CMS_BASE)
+
+
+def cms_token_counts(sf_dir: str):
+    """CMS-estimated vs hash-exact occurrence counts for the fixed
+    stopword query set. Per batch: flatten tokens, hash once, bincount
+    each of the 4 pairwise-permuted rows (≤ 4×1024 counter rows per
+    block) plus hash-equality exact partials for the 10 query tokens
+    (tagged row = -1 in the same partial stream); one coalesce sums the
+    grid and takes the per-token min across rows. cms_count ≥
+    exact_count always (one-sided CMS error), and both engines
+    reproduce both columns bit-for-bit."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        frames = []
+        if counts.sum():
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words if len(w)])
+            h = _cms_word_hashes(flat)
+            for r, (a, b) in enumerate(_CMS_PERMS):
+                buckets = ((a * h + b) % _CMS_PRIME) % _CMS_WIDTH
+                cnt = np.bincount(buckets, minlength=_CMS_WIDTH)
+                nz = np.nonzero(cnt)[0]
+                frames.append(pd.DataFrame({
+                    "row": np.full(len(nz), r, dtype=np.int64),
+                    "bucket": nz.astype(np.int64),
+                    "cnt": cnt[nz].astype(np.int64)}))
+            qh = _cms_word_hashes(np.array(_CMS_QUERY, dtype=object))
+            exact = (h[:, None] == qh[None, :]).sum(axis=0)
+            frames.append(pd.DataFrame({
+                "row": np.full(len(qh), -1, dtype=np.int64),
+                "bucket": np.arange(len(qh), dtype=np.int64),
+                "cnt": exact.astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = _read_docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        folded = df.groupby(["row", "bucket"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        grid = {(int(r), int(b)): int(c) for r, b, c in
+                folded[folded["row"] >= 0].itertuples(index=False)}
+        exact = {int(b): int(c) for _, b, c in
+                 folded[folded["row"] < 0].itertuples(index=False)}
+        qh = _cms_word_hashes(np.array(_CMS_QUERY, dtype=object))
+        rows = []
+        for i, tok in enumerate(_CMS_QUERY):
+            est = min(grid.get(
+                (r, int(((a * int(qh[i]) + b) % _CMS_PRIME) % _CMS_WIDTH)), 0)
+                for r, (a, b) in enumerate(_CMS_PERMS))
+            rows.append((tok, est, exact.get(i, 0)))
+        return pd.DataFrame(rows, columns=["token", "cms_count",
+                                           "exact_count"])
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None)
+
+
+_CMS_POLY_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({w}) + 1), "
+    "i -> CAST(ord(substr({w}, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+    f"(x, y) -> (x * {_CMS_BASE} + y) % {_CMS_PRIME})"
+)
+
+_CMS_ROW_CTES = ",\n".join(
+    f"c{r} AS (SELECT (({a} * h + {b}) % {_CMS_PRIME}) % {_CMS_WIDTH} AS b, "
+    f"COUNT(*) AS c FROM toks GROUP BY 1)"
+    for r, (a, b) in enumerate(_CMS_PERMS))
+
+_CMS_ROW_JOINS = "\n".join(
+    f"LEFT JOIN c{r} ON c{r}.b = (({a} * q.qh + {b}) % {_CMS_PRIME})"
+    f" % {_CMS_WIDTH}"
+    for r, (a, b) in enumerate(_CMS_PERMS))
+
+_CMS_QUERY_VALUES = ", ".join(f"('{t}')" for t in _CMS_QUERY)
+
+CMS_TOKEN_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_transform(regexp_extract_all(lower(text), '{WS_RE}'),
+    w -> {_CMS_POLY_SQL.format(w="w")})) AS h
+  FROM documents
+), q AS (
+  SELECT token, {_CMS_POLY_SQL.format(w="token")} AS qh
+  FROM (VALUES {_CMS_QUERY_VALUES}) AS t(token)
+),
+{_CMS_ROW_CTES}
+SELECT q.token,
+       CAST(least(COALESCE(c0.c, 0), COALESCE(c1.c, 0),
+                  COALESCE(c2.c, 0), COALESCE(c3.c, 0)) AS BIGINT)
+         AS cms_count,
+       CAST(COALESCE((SELECT COUNT(*) FROM toks WHERE toks.h = q.qh), 0)
+         AS BIGINT) AS exact_count
+FROM q
+{_CMS_ROW_JOINS}
+"""

@@ -25,6 +25,7 @@ ORACLE_CASES = [
     (D.embedding_lsh_near_dup, D.EMBEDDING_LSH_NEAR_DUP_SQL),
     (R.hll_distinct_users, R.HLL_DISTINCT_USERS_SQL),
     (T.token_length_histogram, T.TOKEN_LENGTH_HISTOGRAM_SQL),
+    (T.cms_token_counts, T.CMS_TOKEN_COUNTS_SQL),
 ]
 
 
@@ -574,3 +575,18 @@ def test_hll_survives_strided_and_negative_ids(ray_session, tmp_path):
     out = normalize(to_pandas(R.hll_distinct_users(str(sf))))
     est = int(out.loc[out["event_type"] == "click", "hll_estimate"].iloc[0])
     assert abs(est - n) / n < 0.25, est
+
+
+def test_cms_one_sided_and_exact_against_recount(ray_session):
+    """CMS estimate must never undercount (one-sided error), and the
+    hash-equality exact column must equal a driver-side string
+    recount of the query tokens."""
+    out = normalize(to_pandas(T.cms_token_counts(SF_DIR))).set_index("token")
+    assert (out["cms_count"] >= out["exact_count"]).all()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    flat = pd.Series(
+        np.concatenate(docs["text"].str.lower().str.findall(r"\S+").to_list())
+    )
+    counts = flat.value_counts()
+    for tok in T._CMS_QUERY:
+        assert out.loc[tok, "exact_count"] == int(counts.get(tok, 0)), tok

@@ -1763,7 +1763,11 @@ def cms_token_counts(sf_dir: str):
     (tagged row = -1 in the same partial stream); one coalesce sums the
     grid and takes the per-token min across rows. cms_count ≥
     exact_count always (one-sided CMS error), and both engines
-    reproduce both columns bit-for-bit."""
+    reproduce both columns bit-for-bit. NB exact_count counts HASH
+    matches (identical definition in the SQL); at vocabulary scales
+    where base-131 poly collisions with a query hash become likely it
+    is itself a (tiny) overcount of the string count."""
+    qh = _cms_word_hashes(np.array(_CMS_QUERY, dtype=object))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].str.lower().str.findall(WS_RE)
@@ -1781,7 +1785,6 @@ def cms_token_counts(sf_dir: str):
                     "row": np.full(len(nz), r, dtype=np.int64),
                     "bucket": nz.astype(np.int64),
                     "cnt": cnt[nz].astype(np.int64)}))
-            qh = _cms_word_hashes(np.array(_CMS_QUERY, dtype=object))
             exact = (h[:, None] == qh[None, :]).sum(axis=0)
             frames.append(pd.DataFrame({
                 "row": np.full(len(qh), -1, dtype=np.int64),
@@ -1803,7 +1806,6 @@ def cms_token_counts(sf_dir: str):
                 folded[folded["row"] >= 0].itertuples(index=False)}
         exact = {int(b): int(c) for _, b, c in
                  folded[folded["row"] < 0].itertuples(index=False)}
-        qh = _cms_word_hashes(np.array(_CMS_QUERY, dtype=object))
         rows = []
         for i, tok in enumerate(_CMS_QUERY):
             est = min(grid.get(
@@ -1836,6 +1838,11 @@ _CMS_ROW_JOINS = "\n".join(
 
 _CMS_QUERY_VALUES = ", ".join(f"('{t}')" for t in _CMS_QUERY)
 
+# min across however many rows _CMS_PERMS defines — kept generated so a
+# depth change can't desync the oracle from the engine's min
+_CMS_LEAST_ARGS = ", ".join(
+    f"COALESCE(c{r}.c, 0)" for r in range(len(_CMS_PERMS)))
+
 CMS_TOKEN_COUNTS_SQL = f"""
 WITH toks AS (
   SELECT unnest(list_transform(regexp_extract_all(lower(text), '{WS_RE}'),
@@ -1847,8 +1854,7 @@ WITH toks AS (
 ),
 {_CMS_ROW_CTES}
 SELECT q.token,
-       CAST(least(COALESCE(c0.c, 0), COALESCE(c1.c, 0),
-                  COALESCE(c2.c, 0), COALESCE(c3.c, 0)) AS BIGINT)
+       CAST(least({_CMS_LEAST_ARGS}) AS BIGINT)
          AS cms_count,
        CAST(COALESCE((SELECT COUNT(*) FROM toks WHERE toks.h = q.qh), 0)
          AS BIGINT) AS exact_count

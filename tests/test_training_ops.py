@@ -579,14 +579,19 @@ def test_hll_survives_strided_and_negative_ids(ray_session, tmp_path):
 
 def test_cms_one_sided_and_exact_against_recount(ray_session):
     """CMS estimate must never undercount (one-sided error), and the
-    hash-equality exact column must equal a driver-side string
-    recount of the query tokens."""
+    hash-equality exact column must bracket a driver-side string
+    recount of the query tokens: string_count <= exact_count (hash
+    matches are a superset of string matches) <= cms_count. On this
+    pinned corpus there are no base-131 collisions with the query
+    hashes, so the lower bound is also checked tight."""
     out = normalize(to_pandas(T.cms_token_counts(SF_DIR))).set_index("token")
     assert (out["cms_count"] >= out["exact_count"]).all()
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
     flat = pd.Series(
-        np.concatenate(docs["text"].str.lower().str.findall(r"\S+").to_list())
+        np.concatenate(docs["text"].str.lower().str.findall(T.WS_RE).to_list())
     )
     counts = flat.value_counts()
     for tok in T._CMS_QUERY:
-        assert out.loc[tok, "exact_count"] == int(counts.get(tok, 0)), tok
+        string_n = int(counts.get(tok, 0))
+        assert string_n <= out.loc[tok, "exact_count"], tok
+        assert out.loc[tok, "exact_count"] == string_n, tok  # tight here

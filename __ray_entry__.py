@@ -230,6 +230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merges — the sketch family member whose merge algebra works
         # under nondeterministic block order, hence bit-exact oracle)
         "cms_token_counts": T.cms_token_counts,
+        # broadcast-Bloom decontamination (constant 128 KB bitmap vs
+        # decontaminate_val's gram exchange) and certified exact top-k
+        # (local top-C + Στ exclusion certificate + candidate-only
+        # rescore — constant shuffle volume) — NEW, in-window
+        "bloom_decontaminate": T.bloom_decontaminate,
+        "certified_topk_tokens": T.certified_topk_tokens,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -239,14 +245,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": T.dup_span_stats,
         "chunk_sequences": T.chunk_sequences,
         "multimodal_features": M.multimodal_features,
+        # --- entries below are outside the 50-entry window: all carry
+        # r4 full-pass driver rows and their code is unchanged in r5 ---
         "multimodal_wav_decode": M.multimodal_wav_decode,
         "lww_latest_events": R.lww_latest_events,
         "pricing_summary": R.pricing_summary,
         "revenue_by_nation": R.revenue_by_nation,
         "hourly_user_activity": R.hourly_user_activity,
         "parts_per_order": R.parts_per_order,
-        # --- entries below are outside the 50-entry window: all carry
-        # r4 full-pass driver rows and their code is unchanged in r5 ---
         "top_orders": R.top_orders,
         "sliding_user_activity": R.sliding_user_activity,
         "top_orders_per_customer": R.top_orders_per_customer,
@@ -369,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": R.HLL_DISTINCT_USERS_SQL,
         "token_length_histogram": T.TOKEN_LENGTH_HISTOGRAM_SQL,
         "cms_token_counts": T.CMS_TOKEN_COUNTS_SQL,
+        "bloom_decontaminate": T.BLOOM_DECONTAMINATE_SQL,
+        "certified_topk_tokens": T.CERTIFIED_TOPK_TOKENS_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

@@ -94,6 +94,11 @@ QUERY_NAMES = [
     "hll_distinct_users",
     "token_length_histogram",
     "cms_token_counts",
+    # broadcast-Bloom decontamination (zero-shuffle probe) + certified
+    # exact top-k (constant-shuffle heavy hitters) — the sketch-gated
+    # twins of decontaminate_val / top_tokens
+    "bloom_decontaminate",
+    "certified_topk_tokens",
 ]
 
 

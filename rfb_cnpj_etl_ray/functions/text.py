@@ -840,6 +840,39 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_K}
 DECON_N = 5  # shingle width in words
 
 
+def _shingle_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+    """DISTINCT (doc_id, gram) ``DECON_N``-word shingles of the given
+    rows — flat word buffer + shifted-slice string concat, no per-row
+    Python. Each doc lives in one batch, so the per-batch dedup is
+    global. Shared by the exchange-based (``decontaminate_val``) and
+    broadcast-Bloom (``bloom_decontaminate``) decontamination paths."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "gram": pd.Series([], dtype="object")})
+    if batch.empty:
+        return empty
+    words = batch["text"].str.lower().str.findall(WS_RE)
+    lens = words.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total < DECON_N:
+        return empty
+    flat = np.concatenate([np.asarray(w, dtype=object)
+                           for w in words if len(w)])
+    doc_of = np.repeat(batch["doc_id"].to_numpy()[lens > 0],
+                       lens[lens > 0])
+    # start i is a shingle iff word i+N-1 is still the same doc
+    valid = doc_of[: total - (DECON_N - 1)] == doc_of[DECON_N - 1:]
+    if not valid.any():
+        return empty
+    g = pd.Series(flat[: total - (DECON_N - 1)], dtype=object)
+    for j in range(1, DECON_N):
+        g = g + " " + pd.Series(
+            flat[j: total - (DECON_N - 1) + j], dtype=object)
+    return pd.DataFrame({
+        "doc_id": doc_of[: total - (DECON_N - 1)][valid],
+        "gram": g.to_numpy(dtype=object)[valid],
+    }).drop_duplicates()
+
+
 def decontaminate_val(sf_dir: str):
     """Benchmark-decontamination report: every *val* document (the
     ``train_val_split`` rule: doc_id % 10 == 8) that shares at least one
@@ -858,35 +891,9 @@ def decontaminate_val(sf_dir: str):
     from rfb_cnpj_etl_ray.stages.exchange import repartition_by_key
 
     def grams(batch: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "gram": pd.Series([], dtype="object"),
-                              "is_train": pd.Series([], dtype="bool")})
         mod = batch["doc_id"].to_numpy() % 10
-        batch = batch[mod <= 8]  # train + val; test docs play no part
-        if batch.empty:
-            return empty
-        words = batch["text"].str.lower().str.findall(WS_RE)
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        total = int(lens.sum())
-        if total < DECON_N:
-            return empty
-        flat = np.concatenate([np.asarray(w, dtype=object)
-                               for w in words if len(w)])
-        doc_of = np.repeat(batch["doc_id"].to_numpy()[lens > 0],
-                           lens[lens > 0])
-        # start i is a shingle iff word i+N-1 is still the same doc
-        valid = doc_of[: total - (DECON_N - 1)] == doc_of[DECON_N - 1:]
-        if not valid.any():
-            return empty
-        g = pd.Series(flat[: total - (DECON_N - 1)], dtype=object)
-        for j in range(1, DECON_N):
-            g = g + " " + pd.Series(
-                flat[j: total - (DECON_N - 1) + j], dtype=object)
-        out = pd.DataFrame({
-            "doc_id": doc_of[: total - (DECON_N - 1)][valid],
-            "gram": g.to_numpy(dtype=object)[valid],
-        }).drop_duplicates()
-        out["is_train"] = (out["doc_id"] % 10) < 8
+        out = _shingle_distinct(batch[mod <= 8])  # test docs play no part
+        out["is_train"] = (out["doc_id"] % 10 < 8).astype(bool)
         return out
 
     def mark(df: pd.DataFrame) -> pa.Table:
@@ -1861,3 +1868,207 @@ SELECT q.token,
 FROM q
 {_CMS_ROW_JOINS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the constant-size-broadcast twin of
+# decontaminate_val. The keyed-gram-exchange path moves O(tokens) rows
+# through a shuffle; when the benchmark/val set is small (the real-world
+# case: eval suites are MBs, the train corpus is TBs), the right shape
+# is a Bloom filter over the val grams — a fixed 128 KB bitmap broadcast
+# once via ray.put — probed per batch on the train side with ZERO
+# shuffle. The filter is fully deterministic (polynomial gram hash +
+# pairwise-permuted positions, all mod 2^31-1), so the DuckDB oracle
+# reproduces it bit-for-bit, false positives included.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20                  # filter width in bits (128 KB packed)
+_BLOOM_PERMS = ((2971, 1234), (6389, 5678), (9973, 91011))
+
+
+def _bloom_positions(h: np.ndarray) -> "list[np.ndarray]":
+    """k bit positions per gram hash: pairwise (a·h+b) mod p mod M —
+    the CMS row recipe, reused so the SQL twin stays one expression."""
+    return [((a * h + b) % _CMS_PRIME) % _BLOOM_M for a, b in _BLOOM_PERMS]
+
+
+def bloom_decontaminate(sf_dir: str):
+    """Train-side decontamination report via a broadcast Bloom filter:
+    every *train* doc (``doc_id % 10 < 8``) with the count of its
+    distinct ``DECON_N``-word shingles whose k Bloom positions are all
+    set by some *val* shingle (``doc_id % 10 == 8``). Counts include
+    the filter's (deterministic) false positives — the operator's
+    contract is "what a Bloom-gated filter would drop", and the oracle
+    reproduces the same bitmap exactly.
+
+    Scale shape: the build pass emits ONE packed 128 KB bitmap row per
+    batch (constant, whatever the batch holds) which the driver ORs —
+    a bounded ``take_all`` of ≤ #blocks tiny rows, the same class as
+    the manifest folds. The probe pass is an actor pool holding the
+    unpacked bitmap from ``ray.put`` (fetched once per actor, never
+    re-shipped per batch) and runs with NO shuffle at all: each doc
+    lives in one batch, so per-batch distinct-gram counts are final.
+    Compare ``decontaminate_val``, which pays a full gram exchange to
+    get exact (FP-free) overlap — this is the 100 TB fast path when
+    the val side fits a constant-size sketch."""
+
+    def val_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _shingle_distinct(batch[batch["doc_id"].to_numpy() % 10 == 8])
+        bits = np.zeros(_BLOOM_M, dtype=bool)
+        if len(g):
+            h = _cms_word_hashes(g["gram"].to_numpy())
+            for pos in _bloom_positions(h):
+                bits[pos] = True
+        return pd.DataFrame({"bits": [np.packbits(bits).tobytes()]})
+
+    packed = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        val_bits, batch_format="pandas").take_all()
+    bitmap = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    for row in packed:
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bits_ref = ray.put(np.unpackbits(bitmap).astype(bool))
+
+    class BloomProbe:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            g = _shingle_distinct(
+                batch[batch["doc_id"].to_numpy() % 10 < 8])
+            if len(g):
+                h = _cms_word_hashes(g["gram"].to_numpy())
+                ok = np.ones(len(g), dtype=bool)
+                for pos in _bloom_positions(h):
+                    ok &= self.bits[pos]
+                hits = g.loc[ok, "doc_id"].value_counts().sort_index()
+            else:
+                hits = pd.Series([], dtype="int64")
+            return pd.DataFrame({
+                "doc_id": hits.index.to_numpy(dtype=np.int64),
+                "n_bloom_hits": hits.to_numpy(dtype=np.int64)})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BloomProbe, batch_format="pandas", concurrency=_pool())
+
+
+_BLOOM_POS_SQL = tuple(
+    f"(({a} * h + {b}) % {_CMS_PRIME}) % {_BLOOM_M}"
+    for a, b in _BLOOM_PERMS)
+
+_BLOOM_PROBE_SQL = "\n  AND ".join(
+    f"{p} IN (SELECT pos FROM val_pos)" for p in _BLOOM_POS_SQL)
+
+# position expressions generated from _BLOOM_PERMS (the CMS lesson: a
+# depth/constant change must not be able to desync the two engines)
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WS_RE}') AS ws
+  FROM documents WHERE doc_id % 10 <= 8
+), grams AS (
+  SELECT DISTINCT doc_id, {_GRAM_CONCAT} AS gram
+  FROM words, unnest(range(1, len(ws) - {DECON_N - 2})) AS t(i)
+), hashed AS (
+  SELECT doc_id, {_CMS_POLY_SQL.format(w="gram")} AS h FROM grams
+), val_pos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{", ".join(_BLOOM_POS_SQL)}]) AS pos
+    FROM hashed WHERE doc_id % 10 = 8)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+FROM hashed
+WHERE doc_id % 10 < 8
+  AND {_BLOOM_PROBE_SQL}
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# certified exact top-k tokens: constant-shuffle heavy hitters with a
+# proof of exactness (SpaceSaving-style local top-C + threshold sum)
+# ---------------------------------------------------------------------------
+
+_CTK_C = 4096          # per-batch candidate width
+
+
+def certified_topk_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
+    """Exact global top-k tokens WITHOUT shuffling the vocabulary: pass
+    1 keeps each batch's local top-``_CTK_C`` tokens plus that batch's
+    exclusion threshold τ (the largest count it dropped); any token
+    outside the candidate union has global count ≤ Στ. Pass 2 broadcasts
+    the candidate set (``ray.put``, read once per actor) and re-counts
+    ONLY candidates exactly — shuffle volume is ≤ |candidates| rows per
+    block instead of |block vocabulary|. The result is certified exact
+    iff Στ = 0 (no batch overflowed C) or the k-th candidate count
+    strictly exceeds Στ; otherwise the operator fails LOUDLY with the
+    remedy (raise C) rather than returning a silently-approximate
+    top-k. Same output contract as ``top_tokens`` (oracle shared), at a
+    constant exchange footprint — the 100 TB heavy-hitter path when the
+    vocabulary itself is too wide to exchange."""
+
+    def local_tops(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(WS_RE)
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        if not counts.sum():
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words if len(w)])
+        tok, cnt = np.unique(flat.astype(str), return_counts=True)
+        order = np.lexsort((tok, -cnt))         # count desc, token asc
+        keep = order[:_CTK_C]
+        tau = int(cnt[order[_CTK_C]]) if len(order) > _CTK_C else 0
+        out = pd.DataFrame({"token": tok[keep].astype(object),
+                            "n": cnt[keep].astype(np.int64)})
+        # τ rides the same stream as a row with the impossible token ""
+        # (WS_RE tokens are never empty)
+        return pd.concat(
+            [out, pd.DataFrame({"token": [""], "n": [tau]})],
+            ignore_index=True)
+
+    # bounded driver fold: ≤ (C+1) × #blocks rows, the manifest class
+    rows = _read_docs(sf_dir, ["text"]).map_batches(
+        local_tops, batch_format="pandas").take_all()
+    cands = sorted({r["token"] for r in rows if r["token"]})
+    s_tau = int(sum(r["n"] for r in rows if not r["token"]))
+    cand_ref = ray.put(np.array(cands, dtype=str))
+
+    class CandidateCounter:
+        def __init__(self):
+            self.cands = ray.get(cand_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            words = batch["text"].str.lower().str.findall(WS_RE)
+            counts = words.str.len().to_numpy(dtype=np.int64)
+            if not counts.sum():
+                return pd.DataFrame(
+                    {"token": pd.Series([], dtype="object"),
+                     "n": pd.Series([], dtype="int64")})
+            flat = np.concatenate([np.asarray(w, dtype=object)
+                                   for w in words if len(w)])
+            tok, cnt = np.unique(flat.astype(str), return_counts=True)
+            m = np.isin(tok, self.cands)        # block vocab vs cands
+            return pd.DataFrame({"token": tok[m].astype(object),
+                                 "n": cnt[m].astype(np.int64)})
+
+    partials = _read_docs(sf_dir, ["text"]).map_batches(
+        CandidateCounter, batch_format="pandas", concurrency=_pool())
+    result = _topk_by_count(partials, "token", k)
+
+    def certify(df: pd.DataFrame) -> pd.DataFrame:
+        certified = s_tau == 0 or (
+            len(df) == k and int(df["n"].min()) > s_tau)
+        if not certified:
+            raise ValueError(
+                f"certified_topk_tokens cannot prove exactness: the "
+                f"k-th candidate count must strictly exceed the "
+                f"exclusion bound Στ={s_tau}; re-run with a larger "
+                f"candidate width (_CTK_C={_CTK_C})")
+        return df
+
+    return result.repartition(1).map_batches(
+        certify, batch_format="pandas", batch_size=None)
+
+
+#: same contract, same oracle: the certificate guarantees the cheap
+#: path returns exactly what the full-exchange top-k returns
+CERTIFIED_TOPK_TOKENS_SQL = TOP_TOKENS_SQL

@@ -26,6 +26,8 @@ ORACLE_CASES = [
     (R.hll_distinct_users, R.HLL_DISTINCT_USERS_SQL),
     (T.token_length_histogram, T.TOKEN_LENGTH_HISTOGRAM_SQL),
     (T.cms_token_counts, T.CMS_TOKEN_COUNTS_SQL),
+    (T.bloom_decontaminate, T.BLOOM_DECONTAMINATE_SQL),
+    (T.certified_topk_tokens, T.CERTIFIED_TOPK_TOKENS_SQL),
 ]
 
 
@@ -595,3 +597,51 @@ def test_cms_one_sided_and_exact_against_recount(ray_session):
         string_n = int(counts.get(tok, 0))
         assert string_n <= out.loc[tok, "exact_count"], tok
         assert out.loc[tok, "exact_count"] == string_n, tok  # tight here
+
+
+def test_bloom_hits_superset_of_true_overlaps(ray_session):
+    """Bloom membership is one-sided: every train doc that TRULY shares
+    a DECON_N-gram with the val split must appear in the bloom report,
+    with n_bloom_hits >= its true shared-distinct-gram count (false
+    positives only ever add)."""
+    from tests.util_compare import duck_con
+
+    out = normalize(to_pandas(T.bloom_decontaminate(SF_DIR)))
+    out = out.set_index("doc_id")["n_bloom_hits"]
+    con = duck_con(SF_DIR)
+    truth = con.execute(f"""
+        WITH words AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+          FROM documents WHERE doc_id % 10 <= 8
+        ), grams AS (
+          SELECT DISTINCT doc_id, {T._GRAM_CONCAT} AS gram
+          FROM words, unnest(range(1, len(ws) - {T.DECON_N - 2})) AS t(i)
+        )
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 10 < 8) tr
+        JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 8) v
+          USING (gram)
+        GROUP BY tr.doc_id
+    """).fetchdf().set_index("doc_id")["n_true"]
+    con.close()
+    assert truth.index.isin(out.index).all()
+    for doc_id, n_true in truth.items():
+        assert out.loc[doc_id] >= n_true, (doc_id, n_true)
+
+
+def test_certified_topk_equals_full_exchange_topk(ray_session):
+    """The certified path must return exactly what the full-vocabulary
+    exchange returns — the certificate is a proof, not a heuristic."""
+    cheap = normalize(to_pandas(T.certified_topk_tokens(SF_DIR)))
+    full = normalize(to_pandas(T.top_tokens(SF_DIR)))
+    pd.testing.assert_frame_equal(cheap, full)
+
+
+def test_certified_topk_fails_loud_when_uncertifiable(ray_session, monkeypatch):
+    """With a candidate width of 1, every batch drops tokens (stau > 0)
+    and the candidate union cannot cover top-k — the operator must
+    refuse to return a silently-approximate answer."""
+    monkeypatch.setattr(T, "_CTK_C", 1)
+    with pytest.raises(Exception) as exc_info:
+        to_pandas(T.certified_topk_tokens(SF_DIR))
+    assert "certified_topk_tokens" in str(exc_info.value)

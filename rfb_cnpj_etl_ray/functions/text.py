@@ -507,19 +507,29 @@ def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
     prunes."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.lower().str.findall(WS_RE)
-        counts = words.str.len().to_numpy(dtype=np.int64)
-        if not counts.sum():
-            return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
-        flat = np.concatenate([np.asarray(w, dtype=object) for w in words
-                               if len(w)])
-        tok, cnt = np.unique(flat.astype(str), return_counts=True)
-        return pd.DataFrame({"token": tok, "n": cnt.astype(np.int64)})
+        tok, cnt = _batch_token_counts(batch)
+        return pd.DataFrame({"token": tok, "n": cnt})
 
     ds = _read_docs(sf_dir, ["text"]).map_batches(
         partial, batch_format="pandas")
     return _topk_by_count(ds, "token", k)
+
+
+def _batch_token_counts(batch: pd.DataFrame
+                        ) -> "tuple[np.ndarray, np.ndarray]":
+    """(distinct lowercased tokens, counts) of a batch via one flat
+    word buffer + np.unique — the shared counting kernel of
+    ``top_tokens`` and ``certified_topk_tokens`` (their equality is the
+    latter's contract, so they must tokenize identically by
+    construction). Empty batches yield two empty arrays."""
+    words = batch["text"].str.lower().str.findall(WS_RE)
+    counts = words.str.len().to_numpy(dtype=np.int64)
+    if not counts.sum():
+        return (np.array([], dtype=object), np.array([], dtype=np.int64))
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words
+                           if len(w)])
+    tok, cnt = np.unique(flat.astype(str), return_counts=True)
+    return tok.astype(object), cnt.astype(np.int64)
 
 
 TOP_TOKENS_SQL = f"""
@@ -1912,14 +1922,20 @@ def bloom_decontaminate(sf_dir: str):
     get exact (FP-free) overlap — this is the 100 TB fast path when
     the val side fits a constant-size sketch."""
 
-    def val_bits(batch: pd.DataFrame) -> pd.DataFrame:
+    def val_bits(batch: pd.DataFrame) -> pa.Table:
         g = _shingle_distinct(batch[batch["doc_id"].to_numpy() % 10 == 8])
+        if not len(g):
+            # blocks with no val docs contribute NOTHING — at corpus
+            # scale ~all blocks are train-only, and emitting a zero
+            # bitmap per block would make the driver fold scale with
+            # corpus block count instead of val size
+            return pa.table({"bits": pa.array([], pa.binary())})
         bits = np.zeros(_BLOOM_M, dtype=bool)
-        if len(g):
-            h = _cms_word_hashes(g["gram"].to_numpy())
-            for pos in _bloom_positions(h):
-                bits[pos] = True
-        return pd.DataFrame({"bits": [np.packbits(bits).tobytes()]})
+        h = _cms_word_hashes(g["gram"].to_numpy())
+        for pos in _bloom_positions(h):
+            bits[pos] = True
+        return pa.table(
+            {"bits": pa.array([np.packbits(bits).tobytes()], pa.binary())})
 
     packed = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         val_bits, batch_format="pandas").take_all()
@@ -2006,15 +2022,11 @@ def certified_topk_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
     vocabulary itself is too wide to exchange."""
 
     def local_tops(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.lower().str.findall(WS_RE)
-        counts = words.str.len().to_numpy(dtype=np.int64)
-        if not counts.sum():
+        tok, cnt = _batch_token_counts(batch)
+        if not len(tok):
             return pd.DataFrame({"token": pd.Series([], dtype="object"),
                                  "n": pd.Series([], dtype="int64")})
-        flat = np.concatenate([np.asarray(w, dtype=object)
-                               for w in words if len(w)])
-        tok, cnt = np.unique(flat.astype(str), return_counts=True)
-        order = np.lexsort((tok, -cnt))         # count desc, token asc
+        order = np.lexsort((tok.astype(str), -cnt))  # count desc, tok asc
         keep = order[:_CTK_C]
         tau = int(cnt[order[_CTK_C]]) if len(order) > _CTK_C else 0
         out = pd.DataFrame({"token": tok[keep].astype(object),
@@ -2037,18 +2049,10 @@ def certified_topk_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
             self.cands = ray.get(cand_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            words = batch["text"].str.lower().str.findall(WS_RE)
-            counts = words.str.len().to_numpy(dtype=np.int64)
-            if not counts.sum():
-                return pd.DataFrame(
-                    {"token": pd.Series([], dtype="object"),
-                     "n": pd.Series([], dtype="int64")})
-            flat = np.concatenate([np.asarray(w, dtype=object)
-                                   for w in words if len(w)])
-            tok, cnt = np.unique(flat.astype(str), return_counts=True)
-            m = np.isin(tok, self.cands)        # block vocab vs cands
-            return pd.DataFrame({"token": tok[m].astype(object),
-                                 "n": cnt[m].astype(np.int64)})
+            tok, cnt = _batch_token_counts(batch)
+            m = np.isin(tok.astype(str), self.cands)  # block vocab only
+            return pd.DataFrame({"token": pd.Series(tok[m], dtype="object"),
+                                 "n": pd.Series(cnt[m], dtype="int64")})
 
     partials = _read_docs(sf_dir, ["text"]).map_batches(
         CandidateCounter, batch_format="pandas", concurrency=_pool())

@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rescore — constant shuffle volume) — NEW, in-window
         "bloom_decontaminate": T.bloom_decontaminate,
         "certified_topk_tokens": T.certified_topk_tokens,
+        # two-pass refined exact quantiles: both passes exchange O(1)
+        # rows in corpus size (coarse histogram locates the rank's bin,
+        # exact re-count only inside target bins) — NEW, in-window
+        "refined_quantiles": T.refined_quantiles,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -244,9 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": S.ann_topk,
         "dup_span_stats": T.dup_span_stats,
         "chunk_sequences": T.chunk_sequences,
-        "multimodal_features": M.multimodal_features,
         # --- entries below are outside the 50-entry window: all carry
         # r4 full-pass driver rows and their code is unchanged in r5 ---
+        "multimodal_features": M.multimodal_features,
         "multimodal_wav_decode": M.multimodal_wav_decode,
         "lww_latest_events": R.lww_latest_events,
         "pricing_summary": R.pricing_summary,
@@ -377,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counts": T.CMS_TOKEN_COUNTS_SQL,
         "bloom_decontaminate": T.BLOOM_DECONTAMINATE_SQL,
         "certified_topk_tokens": T.CERTIFIED_TOPK_TOKENS_SQL,
+        "refined_quantiles": T.REFINED_QUANTILES_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

@@ -99,6 +99,8 @@ QUERY_NAMES = [
     # twins of decontaminate_val / top_tokens
     "bloom_decontaminate",
     "certified_topk_tokens",
+    # two-pass refined exact quantiles (constant exchange, no sort)
+    "refined_quantiles",
 ]
 
 

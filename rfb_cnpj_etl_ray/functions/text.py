@@ -2076,3 +2076,131 @@ def certified_topk_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
 #: same contract, same oracle: the certificate guarantees the cheap
 #: path returns exactly what the full-exchange top-k returns
 CERTIFIED_TOPK_TOKENS_SQL = TOP_TOKENS_SQL
+
+
+# ---------------------------------------------------------------------------
+# two-pass refined EXACT quantiles: constant exchange volume, no sort.
+# quantity_quantiles' one-pass shape exchanges O(distinct values) rows;
+# a global sort exchanges everything. This is the third point on that
+# curve: two passes whose exchanges are both O(1) in corpus size.
+# ---------------------------------------------------------------------------
+
+_RQ_W = 64          # coarse bin width
+_RQ_BINS = 1024     # domain cap: every value must sit below W × BINS
+_RQ_QS = ((1, 2, "p50_chars"), (9, 10, "p90_chars"), (99, 100, "p99_chars"))
+
+
+def refined_quantiles(sf_dir: str):
+    """Exact per-language P50/P90/P99 of ``n_chars`` WITHOUT a global
+    sort: pass 1 folds a coarse fixed-width histogram (≤ langs×1024
+    count rows per block — constant in corpus size, the bounded
+    manifest-fold class on the driver) and locates, for each (lang, q),
+    the ONE coarse bin holding the exact rank ``ceil(q·n)`` (exact
+    rational ``(num·n + den − 1) // den`` — no float product); pass 2
+    re-counts exact values ONLY inside those ≤3 target bins per lang
+    (≤ 3×``_RQ_W`` distinct values per lang per block through the
+    exchange) and picks the ranked value from cumulative counts.
+
+    The quantile twin of ``certified_topk_tokens``: two scans, both
+    with constant-size exchanges, exact output — where a one-pass
+    exact quantile must exchange every distinct value and a sort-based
+    one must exchange everything. Values at or above ``_RQ_W·_RQ_BINS``
+    fail LOUDLY (widen the bins) instead of silently clamping. Rank
+    convention is DuckDB ``quantile_disc`` (first value whose
+    cumulative count reaches ceil(q·n)); the rational rank was probed
+    equal to DuckDB on boundary n (n=100 at q=0.99 etc.)."""
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["n_chars"].to_numpy()
+        if len(v) and int(v.max()) >= _RQ_W * _RQ_BINS:
+            raise ValueError(
+                f"refined_quantiles: n_chars {int(v.max())} is outside "
+                f"the {_RQ_W}×{_RQ_BINS} coarse domain; widen _RQ_W")
+        df = pd.DataFrame({"lang": batch["lang"],
+                           "bin": (v // _RQ_W).astype(np.int64)})
+        return df.groupby(["lang", "bin"], as_index=False).agg(
+            cnt=("bin", "size"))
+
+    rows = _read_docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        hist_partial, batch_format="pandas").take_all()
+    if not rows:
+        return ray.data.from_pandas(pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            **{col: pd.Series([], dtype="int64")
+               for _, _, col in _RQ_QS}}))
+    hist = pd.DataFrame(rows).groupby(
+        ["lang", "bin"], as_index=False)["cnt"].sum()
+
+    # for each (lang, q): the coarse bin holding rank ceil(q·n) and the
+    # residual rank within it
+    targets: dict = {}
+    for lang, g in hist.groupby("lang", sort=False):
+        g = g.sort_values("bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        bins = g["bin"].to_numpy()
+        need = {}
+        for num, den, col in _RQ_QS:
+            rank = (num * n + den - 1) // den
+            i = int(np.searchsorted(cum, rank))
+            below = int(cum[i - 1]) if i else 0
+            need[col] = (int(bins[i]), rank - below)
+        targets[lang] = need
+
+    def exact_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        df = pd.DataFrame({"lang": batch["lang"],
+                           "v": batch["n_chars"].to_numpy().astype(
+                               np.int64)})
+        for lang, g in df.groupby("lang", sort=False):   # ≤ |langs| groups
+            need = targets.get(lang)
+            if not need:
+                continue
+            bins = sorted({b for b, _ in need.values()})
+            sel = g[np.isin(g["v"].to_numpy() // _RQ_W, bins)]
+            if len(sel):
+                c = sel.groupby("v", as_index=False).agg(cnt=("v", "size"))
+                c.insert(0, "lang", lang)
+                out.append(c)
+        if not out:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby(["lang", "v"], as_index=False)["cnt"].sum()
+        rows_out = []
+        for lang in sorted(targets):
+            need = targets[lang]
+            g = counts[counts["lang"] == lang]
+            vals = {}
+            for num, den, col in _RQ_QS:
+                b, rank_in = need[col]
+                sub = g[(g["v"].to_numpy() // _RQ_W) == b].sort_values("v")
+                cum = sub["cnt"].cumsum().to_numpy()
+                if not len(cum) or cum[-1] < rank_in:
+                    raise ValueError(
+                        "refined_quantiles: pass-2 counts disagree with "
+                        "the pass-1 histogram (input changed between "
+                        "passes?)")
+                vals[col] = int(sub["v"].to_numpy()[
+                    np.searchsorted(cum, rank_in)])
+            rows_out.append((lang, *(vals[col] for _, _, col in _RQ_QS)))
+        return pd.DataFrame(rows_out, columns=["lang"] + [
+            col for _, _, col in _RQ_QS])
+
+    partials = _read_docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        exact_partial, batch_format="pandas")
+    # the folded counts table is ≤ langs × 3 × _RQ_W rows — one block
+    return partials.repartition(1).map_batches(
+        pick, batch_format="pandas", batch_size=None)
+
+
+REFINED_QUANTILES_SQL = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.5)  AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(n_chars, 0.9)  AS BIGINT) AS p90_chars,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars
+FROM documents GROUP BY lang
+"""

@@ -28,6 +28,7 @@ ORACLE_CASES = [
     (T.cms_token_counts, T.CMS_TOKEN_COUNTS_SQL),
     (T.bloom_decontaminate, T.BLOOM_DECONTAMINATE_SQL),
     (T.certified_topk_tokens, T.CERTIFIED_TOPK_TOKENS_SQL),
+    (T.refined_quantiles, T.REFINED_QUANTILES_SQL),
 ]
 
 
@@ -645,3 +646,12 @@ def test_certified_topk_fails_loud_when_uncertifiable(ray_session, monkeypatch):
     with pytest.raises(Exception) as exc_info:
         to_pandas(T.certified_topk_tokens(SF_DIR))
     assert "certified_topk_tokens" in str(exc_info.value)
+
+
+def test_refined_quantiles_domain_cap_fails_loud(ray_session, monkeypatch):
+    """Values outside the coarse W x BINS domain must abort pass 1 with
+    the remedy, never clamp into the last bin silently."""
+    monkeypatch.setattr(T, "_RQ_BINS", 2)
+    with pytest.raises(Exception) as exc_info:
+        to_pandas(T.refined_quantiles(SF_DIR))
+    assert "refined_quantiles" in str(exc_info.value)

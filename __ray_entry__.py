@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows in corpus size (coarse histogram locates the rank's bin,
         # exact re-count only inside target bins) — NEW, in-window
         "refined_quantiles": T.refined_quantiles,
+        # SemDeDup-style semantic dedup: kmeans clusters (shared fit) →
+        # within-cluster cosine components → min-vec_id representative;
+        # the kmeans fit refactor also touches kmeans_clusters, already
+        # in-window above — NEW, in-window
+        "semantic_dedup": S.semantic_dedup,
         # fillers to round the window out (r4-green, untouched)
         "exact_dedup": D.exact_dedup,
         "jaccard_block_pairs": D.jaccard_block_pairs,
@@ -382,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": T.BLOOM_DECONTAMINATE_SQL,
         "certified_topk_tokens": T.CERTIFIED_TOPK_TOKENS_SQL,
         "refined_quantiles": T.REFINED_QUANTILES_SQL,
+        "semantic_dedup": S.SEMANTIC_DEDUP_SQL,
         # every queries() entry now carries an exact oracle — the
         # stateful CDC guarantees (exactly-once, evolution, resume) stay
         # pinned by the replayer/kill/property pytests

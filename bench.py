@@ -101,6 +101,8 @@ QUERY_NAMES = [
     "certified_topk_tokens",
     # two-pass refined exact quantiles (constant exchange, no sort)
     "refined_quantiles",
+    # SemDeDup: cluster then dedup within clusters
+    "semantic_dedup",
 ]
 
 

@@ -475,18 +475,14 @@ def _assign_batch(x: np.ndarray, cids: np.ndarray, cents: np.ndarray
     return cids[j], simr[np.arange(len(j)), j]
 
 
-def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
-                    iters: int = KMEANS_ITERS):
-    """Distributed spherical k-means (Lloyd's) over ``embeddings`` —
-    the semantic-clustering primitive behind cluster-balanced data
-    mixing and cluster-level dedup in training-data pipelines.
-
-    Deterministic: init = the ``k`` smallest vec_ids (a predicate-pushed
-    point read, not a scan), assignment by 4-decimal-rounded cosine with
-    min-cid tie-break, centroid update = per-dimension mean rounded to 6
-    decimals (pinned on both sides so the DuckDB oracle's unrolled
-    iterations reproduce the fixed point bit-for-bit; rounding absorbs
-    summation-order ulps).
+def _kmeans_fit(sf_dir: str, k: int = KMEANS_K,
+                iters: int = KMEANS_ITERS):
+    """The deterministic Lloyd fit shared by ``kmeans_clusters`` and
+    ``semantic_dedup`` — returns ``(cids, cents)`` at the pinned fixed
+    point (init = k smallest vec_ids via a predicate-pushed point read,
+    4-decimal-rounded cosine assignment with min-cid tie-break,
+    6-decimal-rounded per-dimension means; both the rounding and the
+    tie rule are reproduced verbatim by the unrolled-Lloyd SQL CTEs).
 
     Scale shape per iteration: centroids broadcast once (``ray.put``,
     k×d floats; tasks ``ray.get`` it zero-copy from the object store —
@@ -495,8 +491,8 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
     wall time at small scale); each batch does ONE matmul and collapses
     to k×(d+1) partial-sum rows; a coalescing ``repartition`` + one
     per-block combine bounds the driver collect to ≤ fold_width·k·(d+1)
-    rows no matter how many input blocks exist. The final assignment
-    streams. Empty clusters drop out (both sides)."""
+    rows no matter how many input blocks exist. Empty clusters drop out
+    (both sides)."""
     import pyarrow.parquet as pq
 
     if k > 64:
@@ -569,6 +565,27 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
             np.round(g.loc[c].reindex(range(d)).to_numpy()
                      / counts.loc[c], 6)
             for c in cids])
+
+    return cids, cents
+
+
+def kmeans_clusters(sf_dir: str, k: int = KMEANS_K,
+                    iters: int = KMEANS_ITERS):
+    """Distributed spherical k-means (Lloyd's) over ``embeddings`` —
+    the semantic-clustering primitive behind cluster-balanced data
+    mixing and cluster-level dedup in training-data pipelines. The fit
+    lives in ``_kmeans_fit`` (shared with ``semantic_dedup``); the
+    final assignment here streams one matmul per batch against the
+    broadcast centroids."""
+    from rfb_cnpj_etl_ray.sources.parquet import sized_blocks
+
+    cids, cents = _kmeans_fit(sf_dir, k, iters)
+    path = f"{sf_dir}/embeddings.parquet"
+    n_blocks = sized_blocks([path])
+
+    def _ds():
+        return _read_table(path, columns=["vec_id", "embedding"],
+                           override_num_blocks=n_blocks)
 
     ref = ray.put((cids, cents))
 
@@ -684,4 +701,115 @@ SELECT vec_id, cluster FROM (
          ) AS rn
   FROM assigned
 ) WHERE rn <= {CLUSTER_SAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster, then dedup within clusters
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication" — public arXiv method)
+# ---------------------------------------------------------------------------
+
+#: same value as dedup.COSINE_THRESHOLD (the synthetic embeddings are
+#: uniform-random, so a production ~0.95 cutoff would return only
+#: singletons; 0.3 exercises real components). Defined locally to keep
+#: similarity ↔ dedup import-cycle-free.
+SEM_DEDUP_THRESHOLD = 0.3
+
+
+def semantic_dedup(sf_dir: str, threshold: float = SEM_DEDUP_THRESHOLD):
+    """SemDeDup: k-means the embedding space (the shared ``_kmeans_fit``
+    fixed point), then find cosine-connected components WITHIN each
+    cluster and elect the min-vec_id representative — every vector gets
+    a ``rep_id`` (singletons point at themselves); dedup = keep rows
+    where ``vec_id == rep_id``. The clustering makes web-scale semantic
+    dedup tractable: pairwise search runs only inside clusters (the
+    paper's core trick), so the quadratic term is bounded by cluster
+    size while the cross-cluster volume is ONE assignment matmul per
+    batch against broadcast centroids plus one keyed exchange on the
+    cluster id.
+
+    Exactness protocol: assignment is the 4-decimal-rounded-cosine /
+    min-cid rule the kmeans oracle pins; the in-cluster edge test uses
+    the same 4-decimal half-away rounding before the threshold compare
+    on BOTH engines; components close under min-label propagation
+    (bounded per cluster here; the recursive-CTE twin closes the same
+    graph). Per-cluster ``map_groups`` holds one cluster in memory —
+    the bounded-block contract ``jaccard_*`` documents; LSH
+    (``embedding_lsh_near_dup``) is the unbounded fallback."""
+    from rfb_cnpj_etl_ray.numeric import round_half_away
+
+    cids, cents = _kmeans_fit(sf_dir)
+    ref = ray.put((cids, cents))
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def assign(batch: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cids_, cents_ = ray.get(ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        cl, _ = _assign_batch(x, cids_, cents_)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "cluster": cl,
+            "embedding": batch["embedding"],
+        })
+
+    ds = _read_table(path, columns=["vec_id", "embedding"]).map_batches(
+        assign, fn_kwargs={"ref": ref}, batch_format="pandas")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        adj = round_half_away(m @ m.T, 4) >= threshold
+        # min-label fixed point over the (bounded) cluster adjacency;
+        # ids are sorted, so min INDEX label == min vec_id of the
+        # component. Self-similarity is 1.0, so the diagonal keeps each
+        # row's own label in the min.
+        lab = np.arange(len(ids), dtype=np.int64)
+        while True:
+            new = np.where(adj, lab[None, :], len(ids)).min(axis=1)
+            if (new == lab).all():
+                break
+            lab = new
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "cluster": pd.Series(
+                np.full(len(ids), g["cluster"].iloc[0]), dtype="int64"),
+            "rep_id": pd.Series(ids[lab], dtype="int64"),
+        })
+
+    return ds.groupby("cluster").map_groups(
+        dedup_group, batch_format="pandas")
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings WHERE vec_id < {KMEANS_K}),
+a0 AS ({_kmeans_assign_sql('c0')}),
+c1 AS ({_kmeans_update_sql('a0')}),
+a1 AS ({_kmeans_assign_sql('c1')}),
+c2 AS ({_kmeans_update_sql('a1')}),
+assign AS ({_kmeans_assign_sql('c2')}),
+pairs AS (
+  SELECT aa.vec_id AS u, ab.vec_id AS v
+  FROM assign aa
+  JOIN assign ab ON ab.cid = aa.cid AND ab.vec_id > aa.vec_id
+  JOIN embeddings ea ON ea.vec_id = aa.vec_id
+  JOIN embeddings eb ON eb.vec_id = ab.vec_id
+  WHERE ROUND(CAST(list_cosine_similarity(
+          CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+          AS DOUBLE), 4) >= {SEM_DEDUP_THRESHOLD}
+),
+adj AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT vec_id AS u, vec_id AS v FROM embeddings
+  UNION
+  SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u
+)
+SELECT r.u AS vec_id, an.cid AS cluster, MIN(r.v) AS rep_id
+FROM reach r JOIN assign an ON an.vec_id = r.u
+GROUP BY 1, 2
 """

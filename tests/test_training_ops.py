@@ -29,6 +29,7 @@ ORACLE_CASES = [
     (T.bloom_decontaminate, T.BLOOM_DECONTAMINATE_SQL),
     (T.certified_topk_tokens, T.CERTIFIED_TOPK_TOKENS_SQL),
     (T.refined_quantiles, T.REFINED_QUANTILES_SQL),
+    (S.semantic_dedup, S.SEMANTIC_DEDUP_SQL),
 ]
 
 
@@ -655,3 +656,14 @@ def test_refined_quantiles_domain_cap_fails_loud(ray_session, monkeypatch):
     with pytest.raises(Exception) as exc_info:
         to_pandas(T.refined_quantiles(SF_DIR))
     assert "refined_quantiles" in str(exc_info.value)
+
+
+def test_semantic_dedup_rep_is_component_min_and_closed(ray_session):
+    """Every rep_id must be the min vec_id of its group (so rep_id <=
+    vec_id), reps must be their own reps (closure), and groups must
+    never span clusters."""
+    out = normalize(to_pandas(S.semantic_dedup(SF_DIR)))
+    assert (out["rep_id"] <= out["vec_id"]).all()
+    reps = out[out["vec_id"].isin(out["rep_id"])]
+    assert (reps["rep_id"] == reps["vec_id"]).all()
+    assert out.groupby("rep_id")["cluster"].nunique().max() == 1

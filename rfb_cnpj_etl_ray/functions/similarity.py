@@ -628,13 +628,23 @@ def _kmeans_update_sql(assign_cte: str) -> str:
       GROUP BY 1, 2) GROUP BY cid"""
 
 
+def _kmeans_chain_sql(iters: int = KMEANS_ITERS) -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) for ``iters`` unrolled Lloyd
+    rounds — generated from KMEANS_ITERS (the _ivf_chain_sql lesson: a
+    hand-written unroll desyncs from the engine the day the constant
+    changes), shared by KMEANS_CLUSTERS_SQL and SEMANTIC_DEDUP_SQL."""
+    parts = [f"""c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings WHERE vec_id < {KMEANS_K})"""]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({_kmeans_assign_sql(f'c{i}')})")
+        parts.append(f"c{i + 1} AS ({_kmeans_update_sql(f'a{i}')})")
+    return ",\n".join(parts), f"c{iters}"
+
+
+_KMEANS_CHAIN, _KMEANS_FINAL = _kmeans_chain_sql(KMEANS_ITERS)
+
 KMEANS_CLUSTERS_SQL = f"""
-WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-            FROM embeddings WHERE vec_id < {KMEANS_K}),
-a0 AS ({_kmeans_assign_sql('c0')}),
-c1 AS ({_kmeans_update_sql('a0')}),
-a1 AS ({_kmeans_assign_sql('c1')}),
-c2 AS ({_kmeans_update_sql('a1')})
+WITH {_KMEANS_CHAIN}
 SELECT vec_id, cid AS cluster, cosine FROM (
    SELECT e.vec_id, c.cid,
           ROUND(CAST(list_cosine_similarity(
@@ -644,7 +654,7 @@ SELECT vec_id, cid AS cluster, cosine FROM (
             ORDER BY ROUND(CAST(list_cosine_similarity(
                   CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
                                AS DOUBLE), 4) DESC, c.cid) AS rn
-   FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+   FROM embeddings e CROSS JOIN {_KMEANS_FINAL} c) WHERE rn = 1
 """
 
 
@@ -710,11 +720,11 @@ SELECT vec_id, cluster FROM (
 # through semantic deduplication" — public arXiv method)
 # ---------------------------------------------------------------------------
 
-#: same value as dedup.COSINE_THRESHOLD (the synthetic embeddings are
-#: uniform-random, so a production ~0.95 cutoff would return only
-#: singletons; 0.3 exercises real components). Defined locally to keep
-#: similarity ↔ dedup import-cycle-free.
-SEM_DEDUP_THRESHOLD = 0.3
+from rfb_cnpj_etl_ray.functions.dedup import COSINE_THRESHOLD \
+    as SEM_DEDUP_THRESHOLD  # one tuning knob for the whole cosine
+# near-dup family (dedup.py imports nothing from this module — no
+# cycle); the synthetic embeddings are uniform-random, so the shared
+# 0.3 cutoff (vs a production ~0.95) is what exercises real components
 
 
 def semantic_dedup(sf_dir: str, threshold: float = SEM_DEDUP_THRESHOLD):
@@ -738,10 +748,12 @@ def semantic_dedup(sf_dir: str, threshold: float = SEM_DEDUP_THRESHOLD):
     the bounded-block contract ``jaccard_*`` documents; LSH
     (``embedding_lsh_near_dup``) is the unbounded fallback."""
     from rfb_cnpj_etl_ray.numeric import round_half_away
+    from rfb_cnpj_etl_ray.sources.parquet import sized_blocks
 
     cids, cents = _kmeans_fit(sf_dir)
     ref = ray.put((cids, cents))
     path = f"{sf_dir}/embeddings.parquet"
+    n_blocks = sized_blocks([path])  # the _kmeans_fit over-split lesson
 
     def assign(batch: pd.DataFrame, *, ref) -> pd.DataFrame:
         cids_, cents_ = ray.get(ref)
@@ -753,7 +765,8 @@ def semantic_dedup(sf_dir: str, threshold: float = SEM_DEDUP_THRESHOLD):
             "embedding": batch["embedding"],
         })
 
-    ds = _read_table(path, columns=["vec_id", "embedding"]).map_batches(
+    ds = _read_table(path, columns=["vec_id", "embedding"],
+                     override_num_blocks=n_blocks).map_batches(
         assign, fn_kwargs={"ref": ref}, batch_format="pandas")
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -784,13 +797,8 @@ def semantic_dedup(sf_dir: str, threshold: float = SEM_DEDUP_THRESHOLD):
 
 
 SEMANTIC_DEDUP_SQL = f"""
-WITH RECURSIVE c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-            FROM embeddings WHERE vec_id < {KMEANS_K}),
-a0 AS ({_kmeans_assign_sql('c0')}),
-c1 AS ({_kmeans_update_sql('a0')}),
-a1 AS ({_kmeans_assign_sql('c1')}),
-c2 AS ({_kmeans_update_sql('a1')}),
-assign AS ({_kmeans_assign_sql('c2')}),
+WITH RECURSIVE {_KMEANS_CHAIN},
+assign AS ({_kmeans_assign_sql(_KMEANS_FINAL)}),
 pairs AS (
   SELECT aa.vec_id AS u, ab.vec_id AS v
   FROM assign aa

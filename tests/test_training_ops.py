@@ -667,3 +667,42 @@ def test_semantic_dedup_rep_is_component_min_and_closed(ray_session):
     reps = out[out["vec_id"].isin(out["rep_id"])]
     assert (reps["rep_id"] == reps["vec_id"]).all()
     assert out.groupby("rep_id")["cluster"].nunique().max() == 1
+
+
+def test_refined_quantiles_adversarial_corpora(ray_session, tmp_path):
+    """Rank-boundary cases the shipped corpus can't hit: group sizes
+    that are exact multiples of the quantile denominators (n=100/200 at
+    q=0.99 sit exactly on a rank boundary), an all-ties group (every
+    value identical -> all three quantiles equal it), and a power-law
+    group with values straddling coarse-bin edges (63/64/65)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    langs, vals = [], []
+    langs += ["bnd"] * 100
+    vals += list(rng.integers(40, 600, 100))          # n=100: q=.99 boundary
+    langs += ["tie"] * 57
+    vals += [64] * 57                                 # ties on a bin edge
+    langs += ["pow"] * 200
+    vals += list((rng.pareto(2.0, 200) * 60 + 44).astype(np.int64))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+        "text": pa.array(["x"] * len(vals)),
+        "lang": pa.array(langs),
+        "source": pa.array(["web"] * len(vals)),
+        "n_chars": pa.array(np.asarray(vals, dtype=np.int64)),
+    })
+    sf = tmp_path / "sf_quant"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    for name in os.listdir(SF_DIR):
+        if name != "documents.parquet" and name.endswith(".parquet"):
+            os.symlink(os.path.join(SF_DIR, name), sf / name)
+    assert_query_matches(T.refined_quantiles, T.REFINED_QUANTILES_SQL,
+                         str(sf))
+    out = normalize(to_pandas(T.refined_quantiles(str(sf))))
+    tie = out[out["lang"] == "tie"].iloc[0]
+    assert tie["p50_chars"] == tie["p90_chars"] == tie["p99_chars"] == 64
